@@ -1,0 +1,129 @@
+"""Edit-context types: the functional replacement for the reference's
+module-attribute hooks (tokenflow_utils.py:7-47 register_* setattr state).
+
+All TokenFlow editing state flows through these pytrees as explicit UNet
+arguments/returns — no monkey-patching, no side effects, fully jittable.
+
+Streams convention: editing passes run the UNet on a flattened batch of
+``3 * n_frames`` items laid out as [source | uncond | cond] (matching
+reference run_tokenflow_pnp.py:199), viewed as (3, n_frames, ...) inside the
+surgery ops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+from flax import struct
+
+
+class EditMode:
+    NONE = "none"  # plain UNet (preprocess / vanilla sampling)
+    PIVOTAL = "pivotal"  # keyframe pass: extended attn, fills the cache
+    PROPAGATE = "propagate"  # propagation pass: NN-gather from the cache
+
+
+@struct.dataclass
+class BlockEdit:
+    """Per-self-attention-site edit directive for one UNet call.
+
+    Static (non-pytree) fields select the traced program; dynamic fields are
+    traced arrays so injection schedules stay inside one jit.
+    """
+
+    # -- static
+    mode: str = struct.field(pytree_node=False, default=EditMode.NONE)
+    n_frames: int = struct.field(pytree_node=False, default=1)
+    window_size: int = struct.field(pytree_node=False, default=1)
+    qk_inject_site: bool = struct.field(pytree_node=False, default=False)
+    # -- dynamic
+    qk_gate: Optional[jax.Array] = None  # scalar bool: t in PnP qk schedule
+    pivot_h: Optional[jax.Array] = None  # (3, K, S, D) cached normed states
+    kf_attn: Optional[jax.Array] = None  # (3, K, S, D) cached attn outputs
+
+
+@struct.dataclass
+class ConvEdit:
+    """Edit directive for the PnP feature-injection resnet site
+    (reference tokenflow_utils.py:49-104, installed on up_blocks[1].resnets[1])."""
+
+    n_frames: int = struct.field(pytree_node=False, default=1)
+    gate: Optional[jax.Array] = None  # scalar bool: t in PnP f schedule
+
+
+@struct.dataclass
+class UNetEdit:
+    """Whole-UNet edit directive; the UNet fans it out to sites.
+
+    ``cache`` maps site name -> {"pivot_h": ..., "kf_attn": ...} and is
+    consumed in PROPAGATE mode; PIVOTAL mode returns a new cache of the same
+    structure (the explicit version of the reference's hook-cached
+    pivot_hidden_states / kf_attn_output, tokenflow_utils.py:327,360).
+    """
+
+    mode: str = struct.field(pytree_node=False, default=EditMode.NONE)
+    n_frames: int = struct.field(pytree_node=False, default=1)
+    window_size: int = struct.field(pytree_node=False, default=1)
+    pnp: bool = struct.field(pytree_node=False, default=False)
+    qk_gate: Optional[jax.Array] = None
+    conv_gate: Optional[jax.Array] = None
+    cache: Optional[dict[str, dict[str, jax.Array]]] = None
+
+    def for_site(self, site: str) -> BlockEdit:
+        entry = (self.cache or {}).get(site)
+        return BlockEdit(
+            mode=self.mode,
+            n_frames=self.n_frames,
+            window_size=self.window_size,
+            qk_inject_site=self.pnp and site in QK_INJECT_SITES,
+            qk_gate=self.qk_gate,
+            pivot_h=None if entry is None else entry["pivot_h"],
+            kf_attn=None if entry is None else entry["kf_attn"],
+        )
+
+    def for_conv(self, site: str) -> Optional[ConvEdit]:
+        if not self.pnp or site != CONV_INJECT_SITE:
+            return None
+        return ConvEdit(n_frames=self.n_frames, gate=self.conv_gate)
+
+
+# PnP q/k injection runs on decoder attention blocks 4-11 only
+# (reference tokenflow_utils.py:208-214 res_dict {1:[1,2], 2:[0,1,2], 3:[0,1,2]});
+# all other self-attn sites get extended attention with no injection.
+QK_INJECT_SITES = frozenset(
+    {
+        "up_1_1",
+        "up_1_2",
+        "up_2_0",
+        "up_2_1",
+        "up_2_2",
+        "up_3_0",
+        "up_3_1",
+        "up_3_2",
+    }
+)
+
+# PnP feature (conv) injection site: second resnet of the first cross-attn
+# up block (reference tokenflow_utils.py:102 up_blocks[1].resnets[1]).
+CONV_INJECT_SITE = "up_1_res_1"
+
+# All 16 self-attention sites, in UNet traversal order.
+SELF_ATTN_SITES = (
+    "down_0_0",
+    "down_0_1",
+    "down_1_0",
+    "down_1_1",
+    "down_2_0",
+    "down_2_1",
+    "mid",
+    "up_1_0",
+    "up_1_1",
+    "up_1_2",
+    "up_2_0",
+    "up_2_1",
+    "up_2_2",
+    "up_3_0",
+    "up_3_1",
+    "up_3_2",
+)

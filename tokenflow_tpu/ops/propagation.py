@@ -1,0 +1,124 @@
+"""Nearest-neighbor token propagation (jnp reference implementation).
+
+Replaces the reference TokenFlowBlock propagation path
+(tokenflow_utils.py:296-429): during a propagation pass the self-attention
+output of every frame is *gathered* from the cached keyframe attention
+outputs via cosine-similarity nearest-neighbor token correspondences, then
+two-pivot blended.
+
+Faithfully reproduced reference quirks (SURVEY.md §7 "hard parts"):
+  - the blend weight assumes the pivot sits at the *center* of its window
+    (tokenflow_utils.py:377-378) even though the actual pivot is random;
+  - the weight is squashed through a sigmoid, landing in [0.5, 0.731]
+    (tokenflow_utils.py:383);
+  - correspondences are computed on the source stream only and reused for
+    all three streams (tokenflow_utils.py:335-348);
+  - window w uses pivots {w, w-1}; window 0 uses only pivot 0
+    (tokenflow_utils.py:331-333).
+
+TPU-first deviations (math-preserving):
+  - all windows are processed in one batched call (the reference loops
+    windows sequentially on one GPU, run_tokenflow_pnp.py:229-232);
+  - query-side L2 normalization is skipped: argmax over z of
+    (x/|x|)·p_hat_z equals argmax of x·p_hat_z (row scale > 0 does not
+    change the argmax), so only the pivot side is normalized;
+  - window 0's single-pivot branch is expressed as pb=pa with a safe blend
+    denominator: both gathers are then identical, so any finite weight
+    reproduces the single-gather result exactly.
+
+A Pallas kernel fusing normalize -> QK^T -> argmax -> gather (avoiding the
+(S, 2S) similarity materialization) can be swapped in behind
+``token_propagation`` (kernels/token_match.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def window_pivot_pairs(n_windows: int) -> tuple[jax.Array, jax.Array]:
+    """Static (pa, pb) pivot indices per window: pa=w, pb=max(w-1, 0)."""
+    w = jnp.arange(n_windows)
+    return w, jnp.maximum(w - 1, 0)
+
+
+def blend_weights(
+    n_frames: int, window_size: int, dtype=jnp.float32
+) -> jax.Array:
+    """Per-frame two-pivot blend weight w1 (weight of the own-window pivot).
+
+    Parity: reference tokenflow_utils.py:375-383 with the assumed mid-window
+    pivot position. Safe denominator covers window 0 (pa == pb -> d1 == d2
+    can both be 0 at the assumed center) where any finite weight is exact
+    because both gathers coincide.
+    """
+    f = jnp.arange(n_frames, dtype=dtype)
+    w = jnp.floor_divide(jnp.arange(n_frames), window_size).astype(dtype)
+    pb = jnp.maximum(w - 1.0, 0.0)
+    center = window_size // 2
+    p1 = w * window_size + center
+    p2 = pb * window_size + center
+    d1 = jnp.abs(f - p1)
+    d2 = jnp.abs(f - p2)
+    return jax.nn.sigmoid(d2 / (d1 + d2 + 1e-8))
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def token_propagation(
+    norm_h_src: jax.Array,
+    pivot_h_src: jax.Array,
+    kf_attn: jax.Array,
+    *,
+    window_size: int,
+) -> jax.Array:
+    """Gather per-frame attention outputs from cached keyframe outputs.
+
+    Args:
+      norm_h_src: (F, S, D) source-stream normed hidden states of the
+        propagation pass frames.
+      pivot_h_src: (K, S, D) source-stream normed hidden states cached from
+        the pivotal pass (reference pivot_hidden_states[0]).
+      kf_attn: (3, K, S, D) cached keyframe attention outputs.
+      window_size: frames per keyframe window (config batch_size).
+
+    Returns:
+      (3, F, S, D) propagated attention outputs, dtype of kf_attn.
+    """
+    f_total, s, d = norm_h_src.shape
+    n_windows = f_total // window_size
+    assert n_windows * window_size == f_total, (f_total, window_size)
+
+    # Normalize pivot tokens once (query-side normalization is argmax-
+    # invariant, see module docstring).
+    p = pivot_h_src.astype(jnp.float32)
+    p_hat = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-12)
+
+    pa_w, pb_w = window_pivot_pairs(n_windows)
+    pa_f = jnp.repeat(pa_w, window_size)  # (F,)
+    pb_f = jnp.repeat(pb_w, window_size)
+    w1 = blend_weights(f_total, window_size)  # (F,)
+
+    def one_frame(x_f, pa, pb, w1_f):
+        # x_f: (S, D). Similarities vs both pivots' tokens: (S, S) each.
+        xq = x_f.astype(jnp.float32)
+        sim1 = jnp.einsum(
+            "sd,zd->sz", xq, p_hat[pa], preferred_element_type=jnp.float32
+        )
+        sim2 = jnp.einsum(
+            "sd,zd->sz", xq, p_hat[pb], preferred_element_type=jnp.float32
+        )
+        idx1 = jnp.argmax(sim1, axis=-1)  # (S,)
+        idx2 = jnp.argmax(sim2, axis=-1)
+        # Gather all 3 streams with the source-derived indices.
+        g1 = kf_attn[:, pa][:, idx1]  # (3, S, D)
+        g2 = kf_attn[:, pb][:, idx2]
+        w = w1_f.astype(kf_attn.dtype)
+        return w * g1 + (1 - w) * g2
+
+    out = jax.lax.map(
+        lambda args: one_frame(*args), (norm_h_src, pa_f, pb_f, w1)
+    )  # (F, 3, S, D)
+    return out.transpose(1, 0, 2, 3)
