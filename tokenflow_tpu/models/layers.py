@@ -1,0 +1,345 @@
+"""Shared Flax building blocks for the SD UNet / VAE (NHWC, TPU-first).
+
+These re-implement the architectural contracts of the diffusers modules the
+reference depends on (SURVEY.md §2.8) from their published semantics — not a
+code port. Conventions:
+
+  - images/latents are NHWC (XLA:TPU's preferred conv layout); the pipeline
+    converts at the host boundary;
+  - ``dtype`` is the activation/compute dtype (bf16 on TPU), ``param_dtype``
+    the parameter storage dtype; attention logits and normalizations
+    accumulate in fp32;
+  - editing surgery (extended attention / NN propagation / PnP injection) is
+    driven by explicit :mod:`tokenflow_tpu.ops.editctx` directives threaded
+    through ``__call__`` — the functional replacement for the reference's
+    monkey-patched forwards (tokenflow_utils.py:49-294).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tokenflow_tpu.ops import editctx
+from tokenflow_tpu.ops.attention import flash_attention, merge_heads, split_heads
+from tokenflow_tpu.ops.extended_attention import (
+    extended_attention,
+    inject_source_qk,
+)
+from tokenflow_tpu.ops.propagation import token_propagation
+
+
+def timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jax.Array:
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding
+    semantics; SD uses flip_sin_to_cos=True, freq_shift=0)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], -1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """t_emb -> Linear -> silu -> Linear (time_embedding of the SD UNet)."""
+
+    embed_dim: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jax.Array) -> jax.Array:
+        h = nn.Dense(
+            self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="linear_1",
+        )(t_emb.astype(self.dtype))
+        h = nn.silu(h)
+        return nn.Dense(
+            self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="linear_2",
+        )(h)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with separate projection/compute entry points so
+    editing code can run surgery between projection and softmax."""
+
+    heads: int
+    dim_head: int
+    out_dim: Optional[int] = None  # defaults to heads * dim_head
+    kv_block: int = 1024
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        inner = self.heads * self.dim_head
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.to_q = nn.Dense(inner, use_bias=False, name="to_q", **common)
+        self.to_k = nn.Dense(inner, use_bias=False, name="to_k", **common)
+        self.to_v = nn.Dense(inner, use_bias=False, name="to_v", **common)
+        self.to_out = nn.Dense(
+            self.out_dim or inner, use_bias=True, name="to_out", **common
+        )
+
+    def qkv(self, x, context=None):
+        context = x if context is None else context
+        return self.to_q(x), self.to_k(context), self.to_v(context)
+
+    def out(self, attn_out):
+        return self.to_out(attn_out)
+
+    def __call__(self, x, context=None):
+        q, k, v = self.qkv(x, context)
+        o = flash_attention(
+            split_heads(q, self.heads),
+            split_heads(k, self.heads),
+            split_heads(v, self.heads),
+            kv_block=self.kv_block,
+        )
+        return self.to_out(merge_heads(o))
+
+
+class GEGLUFeedForward(nn.Module):
+    """Dense(8d) -> split -> x * gelu(gate) -> Dense(d) (diffusers GEGLU FF)."""
+
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = nn.Dense(inner * 2, name="proj_in", **common)(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, name="proj_out", **common)(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Self-attn + cross-attn + GEGLU FF with TokenFlow edit modes.
+
+    Edit modes (cf. reference TokenFlowBlock, tokenflow_utils.py:296-429):
+      NONE      -> standard self-attention.
+      PIVOTAL   -> keyframe extended attention (+ optional PnP q/k
+                   injection); returns the cache {pivot_h, kf_attn}.
+      PROPAGATE -> self-attention replaced by NN-gather from the cache.
+    """
+
+    dim: int
+    heads: int
+    dim_head: int
+    kv_block: int = 1024
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        ln = dict(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)
+        self.norm1 = nn.LayerNorm(name="norm1", **ln)
+        self.attn1 = Attention(
+            heads=self.heads, dim_head=self.dim_head, out_dim=self.dim,
+            kv_block=self.kv_block, name="attn1", **common,
+        )
+        self.norm2 = nn.LayerNorm(name="norm2", **ln)
+        self.attn2 = Attention(
+            heads=self.heads, dim_head=self.dim_head, out_dim=self.dim,
+            kv_block=self.kv_block, name="attn2", **common,
+        )
+        self.norm3 = nn.LayerNorm(name="norm3", **ln)
+        self.ff = GEGLUFeedForward(dim=self.dim, name="ff", **common)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        context: jax.Array,
+        edit: Optional[editctx.BlockEdit] = None,
+    ):
+        b, s, dim = x.shape
+        cache_out = None
+        h_norm = self.norm1(x).astype(self.dtype)
+
+        mode = editctx.EditMode.NONE if edit is None else edit.mode
+        if mode == editctx.EditMode.NONE:
+            attn_out = self.attn1(h_norm)
+        elif mode == editctx.EditMode.PIVOTAL:
+            kf = edit.n_frames
+            q, k, v = self.attn1.qkv(h_norm)
+            q3, k3, v3 = (p.reshape(3, kf, s, -1) for p in (q, k, v))
+            if edit.qk_inject_site:
+                q3, k3 = inject_source_qk(q3, k3, edit.qk_gate)
+            o3 = extended_attention(
+                q3, k3, v3, heads=self.heads, kv_block=self.kv_block
+            )
+            attn_out = self.attn1.out(o3.reshape(b, s, -1))
+            cache_out = {
+                # source-stream normed states drive the NN matching
+                # (reference uses pivot_hidden_states[0],
+                # tokenflow_utils.py:335-336)
+                "pivot_h": h_norm.reshape(3, kf, s, dim)[0],
+                "kf_attn": attn_out.reshape(3, kf, s, dim),
+            }
+        elif mode == editctx.EditMode.PROPAGATE:
+            f = edit.n_frames
+            o3 = token_propagation(
+                h_norm.reshape(3, f, s, dim)[0],
+                edit.pivot_h,
+                edit.kf_attn,
+                window_size=edit.window_size,
+            )
+            attn_out = o3.reshape(b, s, dim).astype(self.dtype)
+        else:
+            raise ValueError(f"unknown edit mode {mode!r}")
+
+        x = x + attn_out
+        x = x + self.attn2(self.norm2(x).astype(self.dtype), context)
+        x = x + self.ff(self.norm3(x).astype(self.dtype))
+        return x, cache_out
+
+
+class Transformer2DModel(nn.Module):
+    """GroupNorm -> proj_in -> BasicTransformerBlock -> proj_out + residual.
+
+    ``use_linear_projection`` selects Linear (SD-2.x) vs 1x1-conv (SD-1.5)
+    projections, matching the two UNet generations.
+    """
+
+    channels: int
+    heads: int
+    dim_head: int
+    use_linear_projection: bool = True
+    kv_block: int = 1024
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: jax.Array,
+        edit: Optional[editctx.BlockEdit] = None,
+    ):
+        b, hh, ww, c = x.shape
+        inner = self.heads * self.dim_head
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        residual = x
+        h = nn.GroupNorm(
+            num_groups=32, epsilon=1e-6, dtype=jnp.float32,
+            param_dtype=self.param_dtype, name="norm",
+        )(x).astype(self.dtype)
+        if self.use_linear_projection:
+            h = h.reshape(b, hh * ww, c)
+            h = nn.Dense(inner, name="proj_in", **common)(h)
+        else:
+            h = nn.Conv(inner, (1, 1), name="proj_in", **common)(h)
+            h = h.reshape(b, hh * ww, inner)
+        h, cache = BasicTransformerBlock(
+            dim=inner, heads=self.heads, dim_head=self.dim_head,
+            kv_block=self.kv_block, name="block", **common,
+        )(h, context, edit)
+        if self.use_linear_projection:
+            h = nn.Dense(c, name="proj_out", **common)(h)
+            h = h.reshape(b, hh, ww, c)
+        else:
+            h = h.reshape(b, hh, ww, inner)
+            h = nn.Conv(c, (1, 1), name="proj_out", **common)(h)
+        return h + residual, cache
+
+
+class ResnetBlock2D(nn.Module):
+    """GN-silu-conv ×2 with additive time embedding and optional PnP
+    feature injection after conv2 (reference tokenflow_utils.py:86-91:
+    uncond/cond hidden streams overwritten by the source stream; the
+    shortcut path is NOT injected)."""
+
+    out_channels: int
+    eps: float = 1e-5
+    groups: int = 32
+    use_temb: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        temb: Optional[jax.Array] = None,
+        edit: Optional[editctx.ConvEdit] = None,
+    ):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        gn = dict(
+            num_groups=self.groups, epsilon=self.eps, dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+        )
+        h = nn.silu(nn.GroupNorm(name="norm1", **gn)(x)).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), name="conv1", **common)(h)
+        if self.use_temb and temb is not None:
+            t = nn.Dense(
+                self.out_channels, name="time_emb_proj", **common
+            )(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.silu(nn.GroupNorm(name="norm2", **gn)(h)).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), name="conv2", **common)(h)
+
+        if edit is not None and edit.gate is not None:
+            f = edit.n_frames
+            h3 = h.reshape(3, f, *h.shape[1:])
+            src = jnp.broadcast_to(h3[:1], h3.shape)
+            h = jnp.where(edit.gate, src, h3).reshape(h.shape)
+
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), name="conv_shortcut", **common
+            )(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    """3x3 stride-2 conv. ``asymmetric_pad`` matches the VAE encoder's
+    pad-(0,1,0,1) convention; the UNet uses symmetric SAME-style padding."""
+
+    channels: int
+    asymmetric_pad: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = ((0, 1), (0, 1)) if self.asymmetric_pad else ((1, 1), (1, 1))
+        return nn.Conv(
+            self.channels, (3, 3), strides=(2, 2), padding=pad,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest x2 upsample + 3x3 conv."""
+
+    channels: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(
+            self.channels, (3, 3), dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv",
+        )(x)

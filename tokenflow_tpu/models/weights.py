@@ -1,0 +1,269 @@
+"""HF checkpoint -> Flax parameter conversion (no diffusers dependency).
+
+The reference obtains all model weights from HuggingFace checkpoints
+(SURVEY.md §2.8: SD-1.5/2.0/2.1/2-depth UNet+VAE+CLIP, ControlNet). This
+module maps those on-disk state dicts (diffusers / transformers naming) onto
+the parameter pytrees of the Flax models in :mod:`tokenflow_tpu.models`.
+
+Loading path: safetensors (preferred, zero-copy numpy) or torch .bin
+(via torch CPU, only if torch is importable). Conversion rules are
+name-rewrites plus shape-driven transforms:
+  - 4D conv weights (O,I,kh,kw)  -> HWIO (kh,kw,I,O)
+  - 2D linear weights (out,in)   -> (in,out)
+  - 1D norm weights              -> 'scale'
+  - embeddings                   -> kept (vocab, hidden)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Callable
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# state-dict loading
+# ---------------------------------------------------------------------------
+
+
+def load_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a single .safetensors or torch .bin file as numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        try:
+            return load_file(path)
+        except Exception:
+            # bf16 tensors are not numpy-native; go through torch.
+            from safetensors.torch import load_file as load_torch
+
+            return {
+                k: v.float().numpy() for k, v in load_torch(path).items()
+            }
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def load_component_state_dict(component_dir: str) -> dict[str, np.ndarray]:
+    """Load (possibly sharded) weights from a diffusers component dir."""
+    files = sorted(os.listdir(component_dir))
+    weight_files = [
+        f
+        for f in files
+        if f.endswith(".safetensors") or f.endswith(".bin")
+    ]
+    # prefer safetensors when both exist
+    st = [f for f in weight_files if f.endswith(".safetensors")]
+    if st:
+        weight_files = st
+    sd: dict[str, np.ndarray] = {}
+    for f in weight_files:
+        if "index" in f:
+            continue
+        sd.update(load_state_dict(os.path.join(component_dir, f)))
+    if not sd:
+        raise FileNotFoundError(f"no weight files in {component_dir}")
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# generic transforms
+# ---------------------------------------------------------------------------
+
+
+def _leaf(name: str, w: np.ndarray) -> tuple[str, np.ndarray]:
+    """Map a torch leaf (weight/bias) to a flax leaf (kernel/scale/bias)."""
+    if name == "bias":
+        return "bias", w
+    if name == "weight":
+        if w.ndim == 4:  # conv OIHW -> HWIO
+            return "kernel", w.transpose(2, 3, 1, 0)
+        if w.ndim == 2:  # linear (out,in) -> (in,out)
+            return "kernel", w.T
+        if w.ndim == 1:  # norm
+            return "scale", w
+    raise ValueError(f"unhandled leaf {name} with shape {w.shape}")
+
+
+def _insert(tree: dict, path: list[str], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _apply_rules(
+    key: str, rules: list[tuple[str, str]]
+) -> str:
+    for pat, rep in rules:
+        key = re.sub(pat, rep, key)
+    return key
+
+
+# ---------------------------------------------------------------------------
+# UNet
+# ---------------------------------------------------------------------------
+
+_UNET_RULES = [
+    (r"down_blocks\.(\d+)\.resnets\.(\d+)\.", r"down_\1_res_\2."),
+    (r"down_blocks\.(\d+)\.attentions\.(\d+)\.", r"down_\1_attn_\2."),
+    (r"down_blocks\.(\d+)\.downsamplers\.0\.", r"down_\1_downsample."),
+    (r"up_blocks\.(\d+)\.resnets\.(\d+)\.", r"up_\1_res_\2."),
+    (r"up_blocks\.(\d+)\.attentions\.(\d+)\.", r"up_\1_attn_\2."),
+    (r"up_blocks\.(\d+)\.upsamplers\.0\.", r"up_\1_upsample."),
+    (r"mid_block\.resnets\.(\d+)\.", r"mid_res_\1."),
+    (r"mid_block\.attentions\.0\.", r"mid_attn."),
+    (r"transformer_blocks\.0\.", r"block."),
+    (r"to_out\.0\.", r"to_out."),
+    (r"ff\.net\.0\.proj\.", r"ff.proj_in."),
+    (r"ff\.net\.2\.", r"ff.proj_out."),
+]
+
+
+def convert_unet_state_dict(
+    sd: dict[str, np.ndarray]
+) -> dict[str, Any]:
+    params: dict[str, Any] = {}
+    for key, w in sd.items():
+        if key.endswith("position_ids"):
+            continue
+        new = _apply_rules(key, _UNET_RULES)
+        parts = new.split(".")
+        leaf_name, leaf = _leaf(parts[-1], w)
+        _insert(params, parts[:-1] + [leaf_name], leaf)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# VAE
+# ---------------------------------------------------------------------------
+
+_VAE_RULES = [
+    (r"down_blocks\.(\d+)\.resnets\.(\d+)\.", r"down_\1_res_\2."),
+    (r"down_blocks\.(\d+)\.downsamplers\.0\.", r"down_\1_downsample."),
+    (r"up_blocks\.(\d+)\.resnets\.(\d+)\.", r"up_\1_res_\2."),
+    (r"up_blocks\.(\d+)\.upsamplers\.0\.", r"up_\1_upsample."),
+    (r"mid_block\.resnets\.(\d+)\.", r"mid_res_\1."),
+    (r"mid_block\.attentions\.0\.", r"mid_attn."),
+    # legacy VAE attention naming (pre-diffusers-0.19 checkpoints)
+    (r"mid_attn\.query\.", r"mid_attn.to_q."),
+    (r"mid_attn\.key\.", r"mid_attn.to_k."),
+    (r"mid_attn\.value\.", r"mid_attn.to_v."),
+    (r"mid_attn\.proj_attn\.", r"mid_attn.to_out."),
+    (r"mid_attn\.to_out\.0\.", r"mid_attn.to_out."),
+]
+
+
+def convert_vae_state_dict(sd: dict[str, np.ndarray]) -> dict[str, Any]:
+    params: dict[str, Any] = {}
+    for key, w in sd.items():
+        new = _apply_rules(key, _VAE_RULES)
+        parts = new.split(".")
+        if "mid_attn" in parts and w.ndim == 4:
+            # legacy 1x1-conv attention projections -> linear
+            w = w[:, :, 0, 0]
+        leaf_name, leaf = _leaf(parts[-1], w)
+        _insert(params, parts[:-1] + [leaf_name], leaf)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder
+# ---------------------------------------------------------------------------
+
+_CLIP_RULES = [
+    (r"^text_model\.", r""),
+    (r"embeddings\.token_embedding\.", r"token_embedding."),
+    (r"embeddings\.position_embedding\.", r"position_embedding."),
+    (r"encoder\.layers\.(\d+)\.", r"layer_\1."),
+    (r"self_attn\.", r""),
+    (r"mlp\.", r""),
+]
+
+
+def convert_clip_text_state_dict(
+    sd: dict[str, np.ndarray]
+) -> dict[str, Any]:
+    params: dict[str, Any] = {}
+    for key, w in sd.items():
+        if "position_ids" in key or key.startswith("text_projection"):
+            continue
+        new = _apply_rules(key, _CLIP_RULES)
+        parts = new.split(".")
+        if parts[0] == "token_embedding":
+            _insert(params, ["token_embedding", "embedding"], w)
+            continue
+        if parts[0] == "position_embedding":
+            _insert(params, ["position_embedding"], w)
+            continue
+        leaf_name, leaf = _leaf(parts[-1], w)
+        _insert(params, parts[:-1] + [leaf_name], leaf)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# pretrained-directory loading (diffusers layout)
+# ---------------------------------------------------------------------------
+
+
+def _maybe_json(path: str) -> dict:
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def load_pretrained(
+    model_dir: str,
+    components: tuple[str, ...] = ("unet", "vae", "text_encoder"),
+) -> dict[str, Any]:
+    """Load a diffusers-layout checkpoint directory into Flax params.
+
+    Returns {component: {"params": pytree, "config": dict}}. The directory
+    must contain ``unet/``, ``vae/``, ``text_encoder/`` subfolders as in the
+    HF hub layout of the SD checkpoints the reference uses
+    (preprocess.py:51-57).
+    """
+    converters: dict[str, Callable] = {
+        "unet": convert_unet_state_dict,
+        "vae": convert_vae_state_dict,
+        "text_encoder": convert_clip_text_state_dict,
+        "controlnet": convert_unet_state_dict,  # shares UNet naming + extras
+    }
+    out: dict[str, Any] = {}
+    for comp in components:
+        comp_dir = os.path.join(model_dir, comp)
+        sd = load_component_state_dict(comp_dir)
+        out[comp] = {
+            "params": converters[comp](sd),
+            "config": _maybe_json(os.path.join(comp_dir, "config.json")),
+        }
+    return out
+
+
+def assert_params_match(
+    converted: dict, expected: dict, path: str = ""
+) -> None:
+    """Raise with a precise diff if a converted tree mismatches the model's
+    expected structure/shapes (expected from jax.eval_shape of init)."""
+    ck, ek = set(converted), set(expected)
+    if ck != ek:
+        raise ValueError(
+            f"at {path or '<root>'}: missing={sorted(ek - ck)} "
+            f"unexpected={sorted(ck - ek)}"
+        )
+    for k in ck:
+        c, e = converted[k], expected[k]
+        if isinstance(e, dict):
+            assert_params_match(c, e, f"{path}/{k}")
+        else:
+            if tuple(c.shape) != tuple(e.shape):
+                raise ValueError(
+                    f"at {path}/{k}: shape {tuple(c.shape)} != "
+                    f"expected {tuple(e.shape)}"
+                )
