@@ -90,6 +90,13 @@ def test_truncate_schedule_sdedit_precedence():
     s = ddim.truncate_schedule(ddim.make_schedule(50), 0.9)
     assert len(s.timesteps) == 44
     assert s.timesteps[0] == 861  # timesteps[6] of the full grid
+    # step spacing must still follow the 50-step grid (1000/50 = 20)
+    assert s.num_inference_steps == 50
+    a_t, a_prev = s.step_alphas()
+    assert len(a_t) == 44
+    np.testing.assert_allclose(
+        a_prev[0], s.alphas_cumprod[861 - 20], rtol=1e-6
+    )
 
 
 def test_save_grid():

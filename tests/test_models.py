@@ -67,14 +67,19 @@ def test_unet_pivotal_then_propagate(tiny_unet):
 
     xq = jnp.asarray(rng.standard_normal((3 * f, 16, 16, 4)), jnp.float32)
     ctxq = jnp.asarray(rng.standard_normal((3 * f, 7, ctx_dim)), jnp.float32)
+    from tokenflow_tpu.ops.propagation import propagation_indices
+
+    pa, pb, w1 = (jnp.asarray(a) for a in propagation_indices(f, ws))
     edit_q = editctx.UNetEdit(
         mode=editctx.EditMode.PROPAGATE,
         n_frames=f,
-        window_size=ws,
         pnp=True,
         qk_gate=jnp.asarray(False),
         conv_gate=jnp.asarray(True),
         cache=cache,
+        prop_pa=pa,
+        prop_pb=pb,
+        prop_w1=w1,
     )
     eps_q, cache_q = model.apply(params, xq, jnp.asarray(5), ctxq, edit=edit_q)
     assert eps_q.shape == (3 * f, 16, 16, 4)

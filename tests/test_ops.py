@@ -15,7 +15,10 @@ from tokenflow_tpu.ops.extended_attention import (
     extended_attention,
     inject_source_qk,
 )
-from tokenflow_tpu.ops.propagation import token_propagation
+from tokenflow_tpu.ops.propagation import (
+    propagation_indices,
+    token_propagation,
+)
 
 
 def _naive_attn(q, k, v, scale):
@@ -156,6 +159,37 @@ def test_token_propagation_matches_reference(n_windows):
     kf_attn = jnp.asarray(
         rng.standard_normal((3, n_windows, s, d)), jnp.float32
     )
-    out = token_propagation(norm_h, pivot_h, kf_attn, window_size=ws)
+    pa, pb, w1 = propagation_indices(f_total, ws)
+    out = token_propagation(
+        norm_h, pivot_h, kf_attn, jnp.asarray(pa), jnp.asarray(pb),
+        jnp.asarray(w1),
+    )
     ref = _ref_propagation(norm_h, pivot_h, kf_attn, ws)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_token_propagation_chunked_equals_full():
+    """Chunking a propagation pass over frames (with sliced pa/pb/w1) must
+    reproduce the all-frames result — the invariant the chunked propagation
+    UNet pass relies on."""
+    rng = np.random.default_rng(5)
+    ws, s, d, n_windows = 2, 5, 4, 4
+    f_total = ws * n_windows
+    norm_h = jnp.asarray(rng.standard_normal((f_total, s, d)), jnp.float32)
+    pivot_h = jnp.asarray(rng.standard_normal((n_windows, s, d)), jnp.float32)
+    kf_attn = jnp.asarray(
+        rng.standard_normal((3, n_windows, s, d)), jnp.float32
+    )
+    pa, pb, w1 = (jnp.asarray(x) for x in propagation_indices(f_total, ws))
+    full = token_propagation(norm_h, pivot_h, kf_attn, pa, pb, w1)
+    chunk = ws * 2
+    parts = [
+        token_propagation(
+            norm_h[i : i + chunk], pivot_h, kf_attn,
+            pa[i : i + chunk], pb[i : i + chunk], w1[i : i + chunk],
+        )
+        for i in range(0, f_total, chunk)
+    ]
+    np.testing.assert_allclose(
+        full, np.concatenate(parts, axis=1), rtol=1e-6, atol=1e-6
+    )

@@ -151,9 +151,11 @@ def truncate_schedule(sched: DDIMSchedule, start: float) -> DDIMSchedule:
     """
     ts = sched.timesteps
     ts = ts[int(1 - start * len(ts)) :]
-    return dataclasses.replace(
-        sched, timesteps=ts, num_inference_steps=len(ts)
-    )
+    # num_inference_steps stays at the set_timesteps value: diffusers'
+    # step() keeps using num_train // num_inference_steps as the grid
+    # spacing even after the timesteps array is truncated, and the SDEdit
+    # runner relies on that (run_tokenflow_sdedit.py:55-57,174).
+    return dataclasses.replace(sched, timesteps=ts)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,281 @@
+"""The TokenFlow editing sample loop — jit-scanned, hook-free.
+
+Replaces the reference's editing stack (run_tokenflow_pnp.py:195-273,
+run_tokenflow_sdedit.py:154-216): per denoising timestep,
+
+  1. *pivotal pass* — one UNet call over the randomly-chosen keyframes
+     (3-stream [source|uncond|cond] batch) with keyframe extended
+     attention, returning the per-site cache {pivot_h, kf_attn};
+  2. *propagation pass* — UNet over ALL frames at once (optionally chunked
+     to bound memory), self-attention replaced by NN token propagation from
+     the cache;
+  3. 3-way chunk -> classifier-free guidance -> DDIM step.
+
+TPU-first deltas vs the reference (math preserved):
+  - the whole 50-step loop is ONE lax.scan under jit — no per-step python,
+    no re-registration of hooks, no disk reloads of source latents (the
+    trajectory lives in HBM; the reference reloads the same tensor from
+    disk 6x per timestep, tokenflow_utils.py:43-47);
+  - the reference's 5 sequential batch passes per step
+    (run_tokenflow_pnp.py:229-232) become one batched propagation pass
+    (windows are independent given the cache), chunkable via lax.map;
+  - pivot indices come from the JAX PRNG (fold_in per step) instead of the
+    global torch RNG (run_tokenflow_pnp.py:224).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenflow_tpu.diffusion import ddim
+from tokenflow_tpu.ops import editctx
+from tokenflow_tpu.ops.propagation import propagation_indices
+
+# unet_apply(params, sample, t, context, edit) -> (eps, cache)
+UNetApply = Callable[..., tuple[jax.Array, dict]]
+
+
+@dataclasses.dataclass(frozen=True)
+class EditSchedule:
+    """Host-side per-step tables driving the edit scan."""
+
+    timesteps: np.ndarray  # (T,) descending
+    alpha_t: np.ndarray  # (T,)
+    alpha_prev: np.ndarray  # (T,)
+    src_slot: np.ndarray  # (T,) index into the latent trajectory
+    qk_gate: np.ndarray  # (T,) bool
+    conv_gate: np.ndarray  # (T,) bool
+
+
+def make_edit_schedule(
+    sched: ddim.DDIMSchedule,
+    save_timesteps: np.ndarray,
+    *,
+    pnp_attn_t: float = 0.0,
+    pnp_f_t: float = 0.0,
+) -> EditSchedule:
+    """Build the per-step tables.
+
+    Injection thresholds follow the reference exactly: the first
+    ``int(n_timesteps * frac)`` steps of the schedule inject
+    (run_tokenflow_pnp.py:235-240, 254-256 — note the fraction is of the
+    *full* n_timesteps even though SDEdit truncates the loop).
+    """
+    ts = sched.timesteps
+    slot_of = {int(t): i for i, t in enumerate(save_timesteps)}
+    missing = [int(t) for t in ts if int(t) not in slot_of]
+    if missing:
+        raise ValueError(
+            f"edit timesteps {missing} not on the inversion save grid "
+            f"(reference asserts the same, tokenflow_utils.py:45)"
+        )
+    src_slot = np.asarray([slot_of[int(t)] for t in ts], np.int32)
+    alpha_t, alpha_prev = sched.step_alphas()
+    n_full = sched.num_inference_steps
+    qk_n = int(n_full * pnp_attn_t)
+    conv_n = int(n_full * pnp_f_t)
+    idx = np.arange(len(ts))
+    return EditSchedule(
+        timesteps=ts.astype(np.int32),
+        alpha_t=alpha_t,
+        alpha_prev=alpha_prev,
+        src_slot=src_slot,
+        qk_gate=idx < qk_n,
+        conv_gate=idx < conv_n,
+    )
+
+
+def _stream_embeds(
+    embeds3: jax.Array, n: int
+) -> jax.Array:
+    """(3, 77, D) [inv|uncond|cond] -> (3n, 77, D) [inv*n|uncond*n|cond*n]
+    (matches reference run_tokenflow_pnp.py:206-207)."""
+    return jnp.repeat(embeds3, n, axis=0)
+
+
+def _with_depth(x: jax.Array, depth: Optional[jax.Array]) -> jax.Array:
+    if depth is None:
+        return x
+    return jnp.concatenate([x, depth.astype(x.dtype)], axis=-1)
+
+
+def tokenflow_sample_loop(
+    unet_apply: UNetApply,
+    params,
+    x_init: jax.Array,  # (F, h, w, 4) noisy start latents
+    src_traj: jax.Array,  # (n_save, F, h, w, 4) inversion trajectory
+    embeds3: jax.Array,  # (3, 77, D) [inversion | uncond | cond]
+    schedule: EditSchedule,
+    *,
+    window_size: int,
+    guidance_scale: float,
+    pnp: bool,
+    rng: jax.Array,
+    depth: Optional[jax.Array] = None,  # (F, h, w, 1)
+    propagate_chunk: Optional[int] = None,  # frames, multiple of window_size
+) -> jax.Array:
+    """Run the full TokenFlow edit; returns denoised latents (F, h, w, 4)."""
+    f_total = x_init.shape[0]
+    n_windows = f_total // window_size
+    assert n_windows * window_size == f_total
+    chunk = propagate_chunk or f_total
+    assert chunk % window_size == 0 and f_total % chunk == 0
+    n_chunks = f_total // chunk
+
+    pa, pb, w1 = (jnp.asarray(a) for a in propagation_indices(f_total, window_size))
+    window_offsets = jnp.arange(n_windows) * window_size
+    step_keys = jax.random.split(rng, len(schedule.timesteps))
+
+    def chunk_view(arr):
+        return arr.reshape(n_chunks, chunk, *arr.shape[1:])
+
+    pa_c, pb_c, w1_c = chunk_view(pa), chunk_view(pb), chunk_view(w1)
+    depth_c = None if depth is None else chunk_view(depth)
+
+    embeds_piv = _stream_embeds(embeds3, n_windows)
+    embeds_prop = _stream_embeds(embeds3, chunk)
+
+    def step_fn(x, xs):
+        a_t, a_prev, t, slot, qk_g, conv_g, key = xs
+        src = src_traj[slot]
+
+        # ---- pivotal pass over the keyframes
+        piv = (
+            jax.random.randint(key, (n_windows,), 0, window_size)
+            + window_offsets
+        )
+        x_piv, src_piv, d_piv = x[piv], src[piv], (
+            None if depth is None else depth[piv]
+        )
+        sample_piv = jnp.concatenate(
+            [
+                _with_depth(src_piv, d_piv),
+                _with_depth(x_piv, d_piv),
+                _with_depth(x_piv, d_piv),
+            ],
+            axis=0,
+        )
+        edit_piv = editctx.UNetEdit(
+            mode=editctx.EditMode.PIVOTAL,
+            n_frames=n_windows,
+            pnp=pnp,
+            qk_gate=qk_g,
+            conv_gate=conv_g,
+        )
+        # pivot eps is discarded — only the cache matters (the reference
+        # does the same, run_tokenflow_pnp.py:227)
+        _, cache = unet_apply(params, sample_piv, t, embeds_piv, edit_piv)
+
+        # ---- propagation pass over all frames (chunked)
+        def prop_one(args):
+            x_c, src_c, pa_i, pb_i, w1_i, d_i = args
+            sample = jnp.concatenate(
+                [
+                    _with_depth(src_c, d_i),
+                    _with_depth(x_c, d_i),
+                    _with_depth(x_c, d_i),
+                ],
+                axis=0,
+            )
+            edit = editctx.UNetEdit(
+                mode=editctx.EditMode.PROPAGATE,
+                n_frames=chunk,
+                pnp=pnp,
+                qk_gate=qk_g,
+                conv_gate=conv_g,
+                cache=cache,
+                prop_pa=pa_i,
+                prop_pb=pb_i,
+                prop_w1=w1_i,
+            )
+            eps_c, _ = unet_apply(params, sample, t, embeds_prop, edit)
+            return eps_c.reshape(3, chunk, *eps_c.shape[1:])
+
+        x_c, src_c = chunk_view(x), chunk_view(src)
+        if n_chunks == 1:
+            eps3 = prop_one(
+                (x_c[0], src_c[0], pa_c[0], pb_c[0], w1_c[0],
+                 None if depth is None else depth_c[0])
+            )
+        else:
+            if depth is None:
+                eps3 = jax.lax.map(
+                    lambda a: prop_one((*a, None)),
+                    (x_c, src_c, pa_c, pb_c, w1_c),
+                )
+            else:
+                eps3 = jax.lax.map(
+                    prop_one, (x_c, src_c, pa_c, pb_c, w1_c, depth_c)
+                )
+            # (n_chunks, 3, chunk, ...) -> (3, F, ...)
+            eps3 = eps3.swapaxes(0, 1).reshape(3, f_total, *eps3.shape[3:])
+
+        eps = ddim.classifier_free_guidance(
+            eps3[1], eps3[2], guidance_scale
+        )
+        x = ddim.ddim_step(x, eps, a_t, a_prev).astype(x.dtype)
+        return x, None
+
+    xs = (
+        jnp.asarray(schedule.alpha_t),
+        jnp.asarray(schedule.alpha_prev),
+        jnp.asarray(schedule.timesteps),
+        jnp.asarray(schedule.src_slot),
+        jnp.asarray(schedule.qk_gate),
+        jnp.asarray(schedule.conv_gate),
+        step_keys,
+    )
+    x_out, _ = jax.lax.scan(step_fn, x_init, xs)
+    return x_out
+
+
+def vanilla_sample_loop(
+    unet_apply: UNetApply,
+    params,
+    x_init: jax.Array,
+    embeds2: jax.Array,  # (2, 77, D) [uncond | cond]
+    schedule: EditSchedule,
+    *,
+    guidance_scale: float,
+    frame_chunk: Optional[int] = None,
+) -> jax.Array:
+    """Per-frame SDEdit baseline (no TokenFlow): 2-stream CFG sampling.
+
+    Parity: the uncalled reference baseline run_tokenflow_sdedit.py:218-257.
+    """
+    f_total = x_init.shape[0]
+    chunk = frame_chunk or f_total
+    assert f_total % chunk == 0
+    n_chunks = f_total // chunk
+    embeds = _stream_embeds(embeds2, chunk)
+
+    def denoise_chunk(x_c, t):
+        sample = jnp.concatenate([x_c, x_c], axis=0)
+        eps2, _ = unet_apply(params, sample, t, embeds, None)
+        eps2 = eps2.reshape(2, chunk, *eps2.shape[1:])
+        return ddim.classifier_free_guidance(
+            eps2[0], eps2[1], guidance_scale
+        )
+
+    def step_fn(x, xs):
+        a_t, a_prev, t = xs
+        if n_chunks == 1:
+            eps = denoise_chunk(x, t)
+        else:
+            xc = x.reshape(n_chunks, chunk, *x.shape[1:])
+            eps = jax.lax.map(lambda xb: denoise_chunk(xb, t), xc)
+            eps = eps.reshape(f_total, *x.shape[1:])
+        return ddim.ddim_step(x, eps, a_t, a_prev).astype(x.dtype), None
+
+    xs = (
+        jnp.asarray(schedule.alpha_t),
+        jnp.asarray(schedule.alpha_prev),
+        jnp.asarray(schedule.timesteps),
+    )
+    x_out, _ = jax.lax.scan(step_fn, x_init, xs)
+    return x_out

@@ -201,7 +201,9 @@ class BasicTransformerBlock(nn.Module):
                 h_norm.reshape(3, f, s, dim)[0],
                 edit.pivot_h,
                 edit.kf_attn,
-                window_size=edit.window_size,
+                edit.prop_pa,
+                edit.prop_pb,
+                edit.prop_w1,
             )
             attn_out = o3.reshape(b, s, dim).astype(self.dtype)
         else:

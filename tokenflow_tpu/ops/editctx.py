@@ -35,12 +35,16 @@ class BlockEdit:
     # -- static
     mode: str = struct.field(pytree_node=False, default=EditMode.NONE)
     n_frames: int = struct.field(pytree_node=False, default=1)
-    window_size: int = struct.field(pytree_node=False, default=1)
     qk_inject_site: bool = struct.field(pytree_node=False, default=False)
     # -- dynamic
     qk_gate: Optional[jax.Array] = None  # scalar bool: t in PnP qk schedule
-    pivot_h: Optional[jax.Array] = None  # (3, K, S, D) cached normed states
+    pivot_h: Optional[jax.Array] = None  # (K, S, D) cached source normed h
     kf_attn: Optional[jax.Array] = None  # (3, K, S, D) cached attn outputs
+    # propagation metadata (ops.propagation.propagation_indices), sliced to
+    # this pass's frames so propagation can be chunked over frames:
+    prop_pa: Optional[jax.Array] = None  # (F,) own-window pivot index
+    prop_pb: Optional[jax.Array] = None  # (F,) previous-window pivot index
+    prop_w1: Optional[jax.Array] = None  # (F,) blend weight of prop_pa
 
 
 @struct.dataclass
@@ -64,22 +68,26 @@ class UNetEdit:
 
     mode: str = struct.field(pytree_node=False, default=EditMode.NONE)
     n_frames: int = struct.field(pytree_node=False, default=1)
-    window_size: int = struct.field(pytree_node=False, default=1)
     pnp: bool = struct.field(pytree_node=False, default=False)
     qk_gate: Optional[jax.Array] = None
     conv_gate: Optional[jax.Array] = None
     cache: Optional[dict[str, dict[str, jax.Array]]] = None
+    prop_pa: Optional[jax.Array] = None
+    prop_pb: Optional[jax.Array] = None
+    prop_w1: Optional[jax.Array] = None
 
     def for_site(self, site: str) -> BlockEdit:
         entry = (self.cache or {}).get(site)
         return BlockEdit(
             mode=self.mode,
             n_frames=self.n_frames,
-            window_size=self.window_size,
             qk_inject_site=self.pnp and site in QK_INJECT_SITES,
             qk_gate=self.qk_gate,
             pivot_h=None if entry is None else entry["pivot_h"],
             kf_attn=None if entry is None else entry["kf_attn"],
+            prop_pa=self.prop_pa,
+            prop_pb=self.prop_pb,
+            prop_w1=self.prop_w1,
         )
 
     def for_conv(self, site: str) -> Optional[ConvEdit]:

@@ -33,46 +33,52 @@ A Pallas kernel fusing normalize -> QK^T -> argmax -> gather (avoiding the
 
 from __future__ import annotations
 
-import functools
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 
-def window_pivot_pairs(n_windows: int) -> tuple[jax.Array, jax.Array]:
-    """Static (pa, pb) pivot indices per window: pa=w, pb=max(w-1, 0)."""
-    w = jnp.arange(n_windows)
-    return w, jnp.maximum(w - 1, 0)
+def propagation_indices(
+    n_frames: int, window_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side per-frame propagation metadata: (pa, pb, w1).
 
+    pa[f]/pb[f] are the two pivot (window) indices frame f gathers from —
+    its own window and the previous one (window 0 reuses its own pivot
+    twice, reproducing the reference's single-pivot branch,
+    tokenflow_utils.py:331-333). w1[f] is the blend weight of the
+    own-window pivot.
 
-def blend_weights(
-    n_frames: int, window_size: int, dtype=jnp.float32
-) -> jax.Array:
-    """Per-frame two-pivot blend weight w1 (weight of the own-window pivot).
-
-    Parity: reference tokenflow_utils.py:375-383 with the assumed mid-window
-    pivot position. Safe denominator covers window 0 (pa == pb -> d1 == d2
-    can both be 0 at the assumed center) where any finite weight is exact
-    because both gathers coincide.
+    Blend parity: reference tokenflow_utils.py:375-383 with the assumed
+    mid-window pivot position and sigmoid squashing. The safe denominator
+    covers window 0 (pa == pb -> d1 == d2 can both be 0 at the assumed
+    center) where any finite weight is exact because both gathers coincide.
     """
-    f = jnp.arange(n_frames, dtype=dtype)
-    w = jnp.floor_divide(jnp.arange(n_frames), window_size).astype(dtype)
-    pb = jnp.maximum(w - 1.0, 0.0)
+    f = np.arange(n_frames)
+    w = f // window_size
+    pa = w
+    pb = np.maximum(w - 1, 0)
     center = window_size // 2
-    p1 = w * window_size + center
+    p1 = pa * window_size + center
     p2 = pb * window_size + center
-    d1 = jnp.abs(f - p1)
-    d2 = jnp.abs(f - p2)
-    return jax.nn.sigmoid(d2 / (d1 + d2 + 1e-8))
+    d1 = np.abs(f - p1).astype(np.float64)
+    d2 = np.abs(f - p2).astype(np.float64)
+    w1 = 1.0 / (1.0 + np.exp(-(d2 / (d1 + d2 + 1e-8))))
+    return (
+        pa.astype(np.int32),
+        pb.astype(np.int32),
+        w1.astype(np.float32),
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("window_size",))
 def token_propagation(
     norm_h_src: jax.Array,
     pivot_h_src: jax.Array,
     kf_attn: jax.Array,
-    *,
-    window_size: int,
+    pa_f: jax.Array,
+    pb_f: jax.Array,
+    w1: jax.Array,
 ) -> jax.Array:
     """Gather per-frame attention outputs from cached keyframe outputs.
 
@@ -82,24 +88,19 @@ def token_propagation(
       pivot_h_src: (K, S, D) source-stream normed hidden states cached from
         the pivotal pass (reference pivot_hidden_states[0]).
       kf_attn: (3, K, S, D) cached keyframe attention outputs.
-      window_size: frames per keyframe window (config batch_size).
+      pa_f, pb_f: (F,) pivot indices per frame (see propagation_indices;
+        sliceable so propagation passes can be chunked over frames).
+      w1: (F,) blend weight of pivot pa.
 
     Returns:
       (3, F, S, D) propagated attention outputs, dtype of kf_attn.
     """
     f_total, s, d = norm_h_src.shape
-    n_windows = f_total // window_size
-    assert n_windows * window_size == f_total, (f_total, window_size)
 
     # Normalize pivot tokens once (query-side normalization is argmax-
     # invariant, see module docstring).
     p = pivot_h_src.astype(jnp.float32)
     p_hat = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-12)
-
-    pa_w, pb_w = window_pivot_pairs(n_windows)
-    pa_f = jnp.repeat(pa_w, window_size)  # (F,)
-    pb_f = jnp.repeat(pb_w, window_size)
-    w1 = blend_weights(f_total, window_size)  # (F,)
 
     def one_frame(x_f, pa, pb, w1_f):
         # x_f: (S, D). Similarities vs both pivots' tokens: (S, S) each.
@@ -119,6 +120,7 @@ def token_propagation(
         return w * g1 + (1 - w) * g2
 
     out = jax.lax.map(
-        lambda args: one_frame(*args), (norm_h_src, pa_f, pb_f, w1)
+        lambda args: one_frame(*args),
+        (norm_h_src, pa_f, pb_f, w1.astype(jnp.float32)),
     )  # (F, 3, S, D)
     return out.transpose(1, 0, 2, 3)
