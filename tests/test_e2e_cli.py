@@ -1,0 +1,150 @@
+"""End-to-end CLI tests on the weightless tiny stack: preprocess ->
+PnP edit -> SDEdit edit, exercising the full two-stage filesystem contract
+(SURVEY.md §1 L5->L1 interface) without pretrained weights."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tokenflow_tpu.cli import preprocess as preprocess_cli
+from tokenflow_tpu.cli import run_pnp, run_sdedit
+from tokenflow_tpu.cli.common import load_config
+
+F, HW, STEPS, SAVE_STEPS, N_TIMESTEPS = 4, 64, 8, 4, 4
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data = root / "data" / "clip"
+    data.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    base = rng.integers(40, 210, (HW, HW, 3), dtype=np.uint8)
+    for i in range(F):
+        img = np.roll(base, shift=2 * i, axis=1)  # gentle horizontal motion
+        Image.fromarray(img).save(data / f"{i:05d}.png")
+    return root
+
+
+@pytest.fixture(scope="module")
+def inverted(workdir):
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        opt = preprocess_cli.build_parser().parse_args(
+            [
+                "--data_path", "data/clip",
+                "--H", str(HW), "--W", str(HW),
+                "--sd_version", "tiny",
+                "--steps", str(STEPS),
+                "--save_steps", str(SAVE_STEPS),
+                "--n_frames", str(F),
+                "--batch_size", str(F),
+                "--inversion_prompt", "a test clip",
+                "--export_pt",
+            ]
+        )
+        result = preprocess_cli.run(opt)
+    finally:
+        os.chdir(cwd)
+    return workdir, result
+
+
+@pytest.mark.slow
+def test_preprocess_artifacts(inverted):
+    workdir, result = inverted
+    sp = workdir / result["save_path"]
+    assert (sp / "latents" / "trajectory.npz").exists()
+    # reference-compat export
+    pts = list((sp / "latents").glob("noisy_latents_*.pt"))
+    assert len(pts) == SAVE_STEPS + 1  # save grid + final endpoint
+    assert (sp / "inversion_prompt.txt").read_text() == "a test clip"
+    assert (sp / "inverted.mp4").exists()
+    assert (sp / "frames" / "00000.png").exists()
+    assert (workdir / "latents" / "inversion_prompts.yaml").exists()
+    z = np.load(sp / "latents" / "trajectory.npz")
+    assert z["traj"].shape[0] == SAVE_STEPS
+    assert z["traj"].shape[1] == F
+
+
+@pytest.mark.slow
+def test_pnp_edit_e2e(inverted, tmp_path):
+    workdir, _ = inverted
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        config = {
+            "seed": 1,
+            "device": "cpu",
+            "output_path": "results",
+            "data_path": "data/clip",
+            "latents_path": "latents",
+            "n_inversion_steps": STEPS,
+            "n_frames": F,
+            "sd_version": "tiny",
+            "guidance_scale": 7.5,
+            "n_timesteps": N_TIMESTEPS,
+            "prompt": "a stylized test clip",
+            "negative_prompt": "ugly",
+            "batch_size": 2,
+            "pnp_attn_t": 0.5,
+            "pnp_f_t": 0.8,
+            "image_size": HW,
+        }
+        config = run_pnp.resolve_output_path(config)
+        os.makedirs(config["output_path"], exist_ok=True)
+        from tokenflow_tpu.cli.common import dump_config
+
+        dump_config(config)
+        decoded = run_pnp.edit_video(config)
+        out = config["output_path"]
+        assert decoded.shape == (F, HW, HW, 3)
+        assert np.isfinite(decoded).all()
+        for name in (
+            "img_ode/00000.png",
+            "tokenflow_PnP_fps_10.mp4",
+            "vae_recon_10.mp4",
+            "input_fps10.mp4",
+            "config.yaml",
+        ):
+            assert os.path.exists(os.path.join(out, name)), name
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.slow
+def test_sdedit_edit_e2e(inverted):
+    workdir, _ = inverted
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        config = {
+            "seed": 1,
+            "device": "cpu",
+            "output_path": "results",
+            "data_path": "data/clip",
+            "latents_path": "latents",
+            "n_inversion_steps": STEPS,
+            "n_frames": F,
+            "sd_version": "tiny",
+            "guidance_scale": 7.5,
+            "n_timesteps": N_TIMESTEPS,
+            "prompt": "a stylized test clip",
+            "negative_prompt": "ugly",
+            "batch_size": 2,
+            "start": 0.9,
+            "use_ddim_noise": True,
+            "image_size": HW,
+        }
+        config = run_sdedit.resolve_output_path(config)
+        os.makedirs(config["output_path"], exist_ok=True)
+        decoded = run_sdedit.edit_video(config)
+        assert decoded.shape == (F, HW, HW, 3)
+        assert np.isfinite(decoded).all()
+        assert os.path.exists(
+            os.path.join(config["output_path"], "tokenflow_SDEdit_fps_10.mp4")
+        )
+    finally:
+        os.chdir(cwd)

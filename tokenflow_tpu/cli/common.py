@@ -1,0 +1,162 @@
+"""Shared editor-CLI plumbing (config loading, data/latents assembly) for
+the PnP and SDEdit runners — the two reference editors share ~70% of their
+code (SURVEY.md §2.3); here the shared part is factored once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from tokenflow_tpu import runtime, utils
+from tokenflow_tpu.diffusion import ddim
+from tokenflow_tpu.io import latents as latents_io
+from tokenflow_tpu.io import video as video_io
+
+VAE_BATCH_SIZE = 10  # reference run_tokenflow_pnp.py:22
+
+
+def load_config(config_path: str) -> dict:
+    with open(config_path) as f:
+        return yaml.safe_load(f)
+
+
+def dump_config(config: dict) -> None:
+    os.makedirs(config["output_path"], exist_ok=True)
+    with open(os.path.join(config["output_path"], "config.yaml"), "w") as f:
+        yaml.dump(config, f)
+
+
+@dataclasses.dataclass
+class EditorData:
+    stack: runtime.SDStack
+    config: dict
+    frames: np.ndarray  # (F, H, W, 3) in [0,1]
+    latents: Any  # (F, h, w, 4) scaled
+    eps: Any  # (F, h, w, 4) implied inversion noise
+    trajectory: latents_io.LatentTrajectory
+    embeds3: Any  # (3, 77, D) [inv | uncond | cond]
+    save_path: str  # nframes_* dir containing latents/
+
+
+def setup_editor(
+    config: dict,
+    *,
+    use_steps_dir: bool = True,
+) -> EditorData:
+    """Common editor init (reference TokenFlow.__init__,
+    run_tokenflow_pnp.py:25-68): resolve latents dir, load/clamp frames,
+    VAE-encode, recover the inversion endpoint noise, build the 3-part
+    text embeds."""
+    sd_version = config["sd_version"]
+    dtype = jnp.bfloat16 if config.get("dtype", "bf16") == "bf16" else jnp.float32
+    stack = runtime.load_stack(
+        sd_version,
+        model_dir=config.get("model_dir"),
+        dtype=dtype,
+        param_dtype=dtype,
+        init=config.get("init", "auto"),
+    )
+
+    video_stem = Path(config["data_path"]).stem
+    save_path, n_frames = latents_io.find_latents_path(
+        config["latents_path"],
+        sd_version,
+        video_stem,
+        config["n_inversion_steps"] if use_steps_dir else None,
+        config["n_frames"],
+        config["batch_size"],
+    )
+    config["n_frames"] = n_frames
+    print("Number of frames: ", n_frames)
+
+    frames = video_io.load_frames(
+        config["data_path"], n_frames,
+        resize_square=config.get("image_size", 512),
+    )
+    for fps in (10, 20, 30):
+        video_io.save_video(
+            frames,
+            os.path.join(config["output_path"], f"input_fps{fps}.mp4"),
+            fps=fps,
+        )
+
+    latents = stack.encode_frames(frames, batch=VAE_BATCH_SIZE)
+
+    trajectory = latents_io.load_trajectory(save_path)
+    if trajectory.traj.shape[1] < n_frames:
+        raise ValueError(
+            f"trajectory has {trajectory.traj.shape[1]} frames < {n_frames}"
+        )
+    trajectory = latents_io.LatentTrajectory(
+        traj=trajectory.traj[:, :n_frames],
+        save_ts=trajectory.save_ts,
+        final=trajectory.final[:n_frames],
+        final_t=trajectory.final_t,
+    )
+
+    # implied endpoint noise (reference get_ddim_eps,
+    # run_tokenflow_pnp.py:186-193)
+    sched_full = ddim.make_schedule(config["n_timesteps"])
+    alpha_T = sched_full.alphas_cumprod[trajectory.final_t]
+    eps = ddim.recover_eps(
+        jnp.asarray(trajectory.final), latents.astype(jnp.float32), alpha_T
+    )
+
+    inv_prompt = latents_io.read_inversion_prompt(
+        os.path.join(save_path, "latents")
+    )
+    uncond_cond = stack.encode_prompt(
+        config["prompt"], config["negative_prompt"]
+    )
+    inv_embed = stack.encode_prompt(inv_prompt, inv_prompt)[0:1]
+    embeds3 = jnp.concatenate([inv_embed, uncond_cond], axis=0)
+
+    return EditorData(
+        stack=stack,
+        config=config,
+        frames=frames,
+        latents=latents,
+        eps=eps,
+        trajectory=trajectory,
+        embeds3=embeds3,
+        save_path=save_path,
+    )
+
+
+def save_vae_recon(data: EditorData) -> None:
+    """VAE round-trip sanity outputs (reference run_tokenflow_pnp.py:242-249)."""
+    out = data.config["output_path"]
+    decoded = np.asarray(
+        data.stack.decode_latents(data.latents, batch=VAE_BATCH_SIZE)
+    )
+    video_io.save_frames(decoded, os.path.join(out, "vae_recon"))
+    for fps in (10, 20, 30):
+        video_io.save_video(
+            decoded, os.path.join(out, f"vae_recon_{fps}.mp4"), fps=fps
+        )
+
+
+def save_outputs(
+    data: EditorData, latents_out, tag: str
+) -> np.ndarray:
+    """Decode final latents, write img_ode/ frames + tagged mp4s
+    (reference run_tokenflow_pnp.py:259-261, 269-271)."""
+    out = data.config["output_path"]
+    decoded = np.asarray(
+        data.stack.decode_latents(latents_out, batch=VAE_BATCH_SIZE)
+    )
+    video_io.save_frames(decoded, os.path.join(out, "img_ode"))
+    for fps in (10, 20, 30):
+        video_io.save_video(
+            decoded,
+            os.path.join(out, f"tokenflow_{tag}_fps_{fps}.mp4"),
+            fps=fps,
+        )
+    return decoded

@@ -1,0 +1,233 @@
+"""Preprocess CLI: DDIM-invert a video's frames and store the latent
+trajectory (stage 1 of the two-stage pipeline).
+
+CLI parity with the reference entry point (preprocess.py:333-354): same
+flags, same save layout, same defaults (500 steps, save grid 50, 40 frames,
+512x512, SD-2.1, inversion prompt registry + txt). TPU-native internals:
+one jit-scanned inversion + reconstruction, trajectory kept on device and
+written once (io/latents.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenflow_tpu import runtime, utils
+from tokenflow_tpu.diffusion import ddim, inversion
+from tokenflow_tpu.io import latents as latents_io
+from tokenflow_tpu.io import video as video_io
+
+
+def build_eps_fn(
+    stack: runtime.SDStack,
+    cond,
+    depth=None,
+    controlnet_fn=None,
+    canny=None,
+    frame_chunk=None,
+):
+    """Conditional-only eps closure (no CFG during inversion — reference
+    preprocess.py:271). Depth maps are concatenated as a 5th latent channel
+    (preprocess.py:207-209); ControlNet residuals are added when a
+    controlnet_fn(sample, t, ctx, cond_image) is supplied
+    (preprocess.py:129-149). Frame chunking (the reference's frame
+    micro-batching, preprocess.py:203) happens here so per-frame aux
+    inputs chunk together with x."""
+
+    def single(x, d, cn, t):
+        ctx = jnp.broadcast_to(cond, (x.shape[0], *cond.shape[1:]))
+        sample = x
+        if d is not None:
+            sample = jnp.concatenate([x, d.astype(x.dtype)], axis=-1)
+        kw = {}
+        if controlnet_fn is not None:
+            down_res, mid_res = controlnet_fn(sample, t, ctx, cn)
+            kw = dict(
+                down_block_residuals=down_res, mid_block_residual=mid_res
+            )
+        eps, _ = stack.unet_apply(
+            stack.unet_params, sample, t, ctx, None, **kw
+        )
+        return eps
+
+    def eps_fn(x, t):
+        f = x.shape[0]
+        if not frame_chunk or f <= frame_chunk or f % frame_chunk:
+            return single(x, depth, canny, t)
+        n = f // frame_chunk
+
+        def view(a):
+            return (
+                None
+                if a is None
+                else a.reshape(n, frame_chunk, *a.shape[1:])
+            )
+
+        xc, dc, cc = view(x), view(depth), view(canny)
+        aux = tuple(a for a in (dc, cc) if a is not None)
+        out = jax.lax.map(
+            lambda args: single(
+                args[0],
+                args[1] if dc is not None else None,
+                args[-1] if cc is not None else None,
+                t,
+            ),
+            (xc, *aux),
+        )
+        return out.reshape(f, *x.shape[1:])
+
+    return eps_fn
+
+
+def load_depth_maps(data_path: str, n_frames: int, latent_hw) -> np.ndarray:
+    """Load per-frame depth maps. Looks for precomputed
+    ``{data_path}/depth/%05d.npy`` (as produced by io/depth.py); the
+    reference computes them with MiDaS at runtime (preprocess.py:76-111)."""
+    from tokenflow_tpu.io.depth import load_or_compute_depth
+
+    return load_or_compute_depth(data_path, n_frames, latent_hw)
+
+
+def run(opt) -> dict:
+    key = utils.seed_everything(1)  # reference seeds 1 (preprocess.py:303)
+    del key
+
+    video_stem = Path(opt.data_path).stem
+    save_path = latents_io.save_path_for(
+        opt.save_dir, opt.sd_version, video_stem, opt.steps, opt.n_frames
+    )
+    os.makedirs(os.path.join(save_path, "latents"), exist_ok=True)
+    latents_io.write_inversion_prompt(
+        opt.save_dir, save_path, video_stem, opt.inversion_prompt
+    )
+
+    dtype = jnp.bfloat16 if opt.dtype == "bf16" else jnp.float32
+    stack = runtime.load_stack(
+        opt.sd_version,
+        model_dir=opt.model_dir,
+        dtype=dtype,
+        param_dtype=dtype,
+        init=opt.init,
+    )
+
+    frames = video_io.load_frames(
+        opt.data_path, opt.n_frames, resize_square=opt.H
+    )
+    lat = stack.encode_frames(frames)  # (F, h, w, 4)
+
+    cond = stack.encode_prompt(opt.inversion_prompt, "")[1:2]  # cond only
+
+    depth = None
+    controlnet_fn = None
+    canny = None
+    if opt.sd_version == "depth":
+        depth = jnp.asarray(
+            load_depth_maps(opt.data_path, opt.n_frames, lat.shape[1:3])
+        )
+    if opt.sd_version == "ControlNet":
+        from tokenflow_tpu.cli.controlnet_utils import build_controlnet
+
+        controlnet_fn, canny = build_controlnet(stack, frames, opt)
+
+    sched = ddim.make_schedule(opt.steps)
+    frame_chunk = (
+        opt.batch_size if opt.batch_size < opt.n_frames else None
+    )
+    eps_fn = build_eps_fn(
+        stack, cond, depth, controlnet_fn, canny, frame_chunk
+    )
+
+    with utils.Timer() as t_inv:
+        invert = jax.jit(
+            lambda x: inversion.ddim_inversion(
+                eps_fn, x, sched, opt.save_steps
+            )
+        )
+        x_T, traj, save_ts = invert(lat)
+        x_T.block_until_ready()
+    print(f"[tokenflow-tpu] inversion ({opt.steps} steps): {t_inv.seconds:.1f}s")
+
+    with utils.Timer() as t_rec:
+        recon = jax.jit(
+            lambda x: inversion.ddim_reconstruction(eps_fn, x, sched)
+        )
+        lat_rec = recon(x_T)
+        lat_rec.block_until_ready()
+    print(f"[tokenflow-tpu] reconstruction: {t_rec.seconds:.1f}s")
+
+    latents_io.save_trajectory(
+        save_path,
+        np.asarray(traj, np.float32),
+        save_ts,
+        np.asarray(x_T, np.float32),
+        int(sched.timesteps[0]),
+    )
+    if opt.export_pt:
+        latents_io.export_reference_layout(save_path)
+
+    rgb = np.asarray(stack.decode_latents(lat_rec))
+    video_io.save_frames(rgb, os.path.join(save_path, "frames"))
+    video_io.save_video(
+        rgb, os.path.join(save_path, "inverted.mp4"), fps=10
+    )
+
+    rec_psnr = utils.psnr(rgb, frames)
+    print(f"[tokenflow-tpu] reconstruction PSNR vs input: {rec_psnr:.2f} dB")
+    return {
+        "save_path": save_path,
+        "inversion_seconds": t_inv.seconds,
+        "reconstruction_seconds": t_rec.seconds,
+        "reconstruction_psnr": rec_psnr,
+    }
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_path", type=str, default="data/woman-running.mp4")
+    p.add_argument("--H", type=int, default=512)
+    p.add_argument("--W", type=int, default=512)
+    p.add_argument("--save_dir", type=str, default="latents")
+    p.add_argument(
+        "--sd_version",
+        type=str,
+        default="2.1",
+        choices=["1.5", "2.0", "2.1", "ControlNet", "depth", "tiny"],
+    )
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=40)
+    p.add_argument("--save_steps", type=int, default=50)
+    p.add_argument("--n_frames", type=int, default=40)
+    p.add_argument(
+        "--inversion_prompt", type=str, default="a woman running"
+    )
+    # tokenflow-tpu extensions
+    p.add_argument("--model_dir", type=str, default=None)
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument(
+        "--init", choices=["auto", "pretrained", "random"], default="auto"
+    )
+    p.add_argument(
+        "--export_pt",
+        action="store_true",
+        help="also write reference-compatible noisy_latents_{t}.pt files",
+    )
+    return p
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+    video_path = opt.data_path
+    if video_path.endswith((".mp4", ".mov", ".avi")):
+        video_io.video_to_frames(video_path, img_size=(opt.W, opt.H))
+        opt.data_path = os.path.join("data", Path(video_path).stem)
+    run(opt)
+
+
+if __name__ == "__main__":
+    main()

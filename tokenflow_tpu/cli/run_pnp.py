@@ -1,0 +1,125 @@
+"""TokenFlow-PnP editor CLI (stage 2): keyframe extended attention +
+Plug-and-Play feature/attention injection + NN token propagation.
+
+Config/output parity with the reference runner (run_tokenflow_pnp.py:283-300:
+same YAML keys, same output-path encoding of hyperparameters, config.yaml
+dump). The editing loop itself is the jit-scanned
+editing.pipeline.tokenflow_sample_loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenflow_tpu import utils
+from tokenflow_tpu.cli import common
+from tokenflow_tpu.diffusion import ddim
+from tokenflow_tpu.editing import pipeline
+
+
+def edit_video(config: dict) -> np.ndarray:
+    rng = utils.seed_everything(config["seed"])
+    data = common.setup_editor(config, use_steps_dir=True)
+    common.save_vae_recon(data)
+
+    sched = ddim.make_schedule(config["n_timesteps"])
+    schedule = pipeline.make_edit_schedule(
+        sched,
+        data.trajectory.save_ts,
+        pnp_attn_t=config["pnp_attn_t"],
+        pnp_f_t=config["pnp_f_t"],
+    )
+
+    alpha_0 = sched.alphas_cumprod[sched.timesteps[0]]
+    x_init = ddim.add_noise(
+        data.latents.astype(jnp.float32), data.eps, alpha_0
+    )
+
+    depth = None
+    if config["sd_version"] == "depth":
+        from tokenflow_tpu.cli.preprocess import load_depth_maps
+
+        depth = jnp.asarray(
+            load_depth_maps(
+                config["data_path"],
+                config["n_frames"],
+                data.latents.shape[1:3],
+            )
+        )
+
+    def loop_fn(params, x0, traj, embeds3, rng, depth):
+        return pipeline.tokenflow_sample_loop(
+            data.stack.unet_apply,
+            params,
+            x0,
+            traj,
+            embeds3,
+            schedule,  # host-side tables, baked into the trace
+            window_size=config["batch_size"],
+            guidance_scale=config["guidance_scale"],
+            pnp=True,
+            rng=rng,
+            depth=depth,
+            propagate_chunk=config.get("propagate_chunk"),
+        )
+
+    loop = jax.jit(loop_fn)
+    with utils.Timer() as t_edit:
+        latents_out = loop(
+            data.stack.unet_params,
+            x_init.astype(data.stack.dtype),
+            jnp.asarray(data.trajectory.traj, data.stack.dtype),
+            data.embeds3,
+            rng,
+            depth,
+        )
+        latents_out.block_until_ready()
+    n_steps = len(schedule.timesteps)
+    fps = config["n_frames"] / t_edit.seconds
+    print(
+        f"[tokenflow-tpu] edit loop ({n_steps} steps, "
+        f"{config['n_frames']} frames): {t_edit.seconds:.1f}s "
+        f"({fps:.2f} edited frames/s)"
+    )
+
+    decoded = common.save_outputs(data, latents_out, "PnP")
+    print("Done!")
+    return decoded
+
+
+def resolve_output_path(config: dict) -> dict:
+    """Reference output-dir encoding (run_tokenflow_pnp.py:289-295)."""
+    config["output_path"] = os.path.join(
+        config["output_path"] + f"_pnp_SD_{config['sd_version']}",
+        Path(config["data_path"]).stem,
+        config["prompt"][:240],
+        f"attn_{config['pnp_attn_t']}_f_{config['pnp_f_t']}",
+        f"batch_size_{str(config['batch_size'])}",
+        str(config["n_timesteps"]),
+    )
+    return config
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--config_path", type=str, default="configs/config_pnp.yaml"
+    )
+    opt = parser.parse_args(argv)
+    config = common.load_config(opt.config_path)
+    config = resolve_output_path(config)
+    os.makedirs(config["output_path"], exist_ok=True)
+    assert os.path.exists(config["data_path"]), "Data path does not exist"
+    common.dump_config(config)
+    print(config)
+    edit_video(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,25 +102,26 @@ def token_propagation(
     p = pivot_h_src.astype(jnp.float32)
     p_hat = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-12)
 
-    def one_frame(x_f, pa, pb, w1_f):
-        # x_f: (S, D). Similarities vs both pivots' tokens: (S, S) each.
-        xq = x_f.astype(jnp.float32)
-        sim1 = jnp.einsum(
-            "sd,zd->sz", xq, p_hat[pa], preferred_element_type=jnp.float32
-        )
-        sim2 = jnp.einsum(
-            "sd,zd->sz", xq, p_hat[pb], preferred_element_type=jnp.float32
-        )
-        idx1 = jnp.argmax(sim1, axis=-1)  # (S,)
-        idx2 = jnp.argmax(sim2, axis=-1)
-        # Gather all 3 streams with the source-derived indices.
-        g1 = kf_attn[:, pa][:, idx1]  # (3, S, D)
-        g2 = kf_attn[:, pb][:, idx2]
-        w = w1_f.astype(kf_attn.dtype)
-        return w * g1 + (1 - w) * g2
+    # Fully batched over frames (no lax.map): keeps the frame axis a real
+    # array axis so pjit can shard it across devices. Peak transient is the
+    # (F, S, S) similarity tensor — bounded by the pipeline's
+    # propagate_chunk, and removed entirely by the Pallas kernel.
+    xq = norm_h_src.astype(jnp.float32)
 
-    out = jax.lax.map(
-        lambda args: one_frame(*args),
-        (norm_h_src, pa_f, pb_f, w1.astype(jnp.float32)),
-    )  # (F, 3, S, D)
-    return out.transpose(1, 0, 2, 3)
+    def match_gather(p_idx):
+        sim = jnp.einsum(
+            "fsd,fzd->fsz",
+            xq,
+            p_hat[p_idx],
+            preferred_element_type=jnp.float32,
+        )
+        idx = jnp.argmax(sim, axis=-1)  # (F, S)
+        # kf_attn[:, p_idx]: (3, F, S, D); gather tokens per frame.
+        return jnp.take_along_axis(
+            kf_attn[:, p_idx], idx[None, :, :, None], axis=2
+        )
+
+    g1 = match_gather(pa_f)
+    g2 = match_gather(pb_f)
+    w = w1.astype(kf_attn.dtype)[None, :, None, None]
+    return w * g1 + (1 - w) * g2

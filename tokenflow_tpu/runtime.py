@@ -1,0 +1,243 @@
+"""Model-stack assembly: configs, weights, tokenizer, prompt encoding, VAE
+helpers — the TPU-native replacement for the reference's
+``StableDiffusionPipeline.from_pretrained`` plumbing (preprocess.py:51-74,
+run_tokenflow_pnp.py:44-57).
+
+Checkpoints are diffusers-layout directories resolved from (in order) an
+explicit ``model_dir``, ``$TOKENFLOW_MODELS/{model_key}``, or the HF hub
+cache layout under ``$HF_HOME``. With no checkpoint available the stack can
+be built random-init (``init="random"``) for benchmarking/smoke runs — SD
+compute cost does not depend on weight values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenflow_tpu.io.tokenizer import CLIPTokenizer, HashTokenizer
+from tokenflow_tpu.models import weights as weights_lib
+from tokenflow_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from tokenflow_tpu.models.unet2d import UNet2DConfig, UNet2DConditionModel
+from tokenflow_tpu.models.vae import AutoencoderKL, AutoencoderKLConfig
+
+MODEL_KEYS = {
+    # sd_version -> HF repo id (directory name under $TOKENFLOW_MODELS)
+    # (reference preprocess.py:39-48)
+    "2.1": "stabilityai/stable-diffusion-2-1-base",
+    "2.0": "stabilityai/stable-diffusion-2-base",
+    "1.5": "runwayml/stable-diffusion-v1-5",
+    "ControlNet": "runwayml/stable-diffusion-v1-5",
+    "depth": "stabilityai/stable-diffusion-2-depth",
+}
+
+
+def configs_for(sd_version: str):
+    if sd_version == "tiny":
+        # weightless smoke/e2e-test stack (random init, hash tokenizer)
+        return (
+            UNet2DConfig.tiny(),
+            AutoencoderKLConfig.tiny(),
+            CLIPTextConfig.tiny(),
+        )
+    if sd_version in ("2.1", "2.0"):
+        return (
+            UNet2DConfig.sd21_base(),
+            AutoencoderKLConfig.sd(),
+            CLIPTextConfig.sd21(),
+        )
+    if sd_version in ("1.5", "ControlNet"):
+        return (
+            UNet2DConfig.sd15(),
+            AutoencoderKLConfig.sd(),
+            CLIPTextConfig.sd15(),
+        )
+    if sd_version == "depth":
+        return (
+            UNet2DConfig.sd21_depth(),
+            AutoencoderKLConfig.sd(),
+            CLIPTextConfig.sd21(),
+        )
+    raise ValueError(
+        f"Stable-diffusion version {sd_version} not supported."
+    )
+
+
+@dataclasses.dataclass
+class SDStack:
+    sd_version: str
+    unet: UNet2DConditionModel
+    unet_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+    text_encoder: CLIPTextModel
+    text_params: Any
+    tokenizer: Any
+    dtype: Any
+
+    # ---- text ---------------------------------------------------------
+
+    def encode_tokens(self, ids: np.ndarray) -> jax.Array:
+        return self.text_encoder.apply(
+            self.text_params, jnp.asarray(ids, jnp.int32)
+        )
+
+    def encode_prompt(self, prompt: str, negative_prompt: str) -> jax.Array:
+        """-> (2, 77, D) [uncond, cond] (reference get_text_embeds order,
+        preprocess.py:151-160)."""
+        ids = np.stack(
+            [self.tokenizer(negative_prompt), self.tokenizer(prompt)]
+        )
+        return self.encode_tokens(ids)
+
+    # ---- VAE ----------------------------------------------------------
+
+    def encode_frames(
+        self,
+        frames: jax.Array,
+        *,
+        batch: int = 10,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """float (F, H, W, 3) in [0,1] -> scaled latents (F, h, w, 4).
+
+        Deterministic (posterior mean) by default, like every reference
+        call site (preprocess.py:195, run_tokenflow_pnp.py:181)."""
+        sf = self.vae.config.scaling_factor
+        x = jnp.asarray(frames) * 2.0 - 1.0
+
+        def enc(xb):
+            return self.vae.apply(
+                self.vae_params, xb, method=self.vae.encode
+            )
+
+        return _batched(enc, x, batch).astype(jnp.float32) * sf
+
+    def decode_latents(
+        self, latents: jax.Array, *, batch: int = 10
+    ) -> jax.Array:
+        """scaled latents -> float images in [0,1] (reference
+        decode_latents, preprocess.py:162-171)."""
+        sf = self.vae.config.scaling_factor
+        z = jnp.asarray(latents) / sf
+
+        def dec(zb):
+            return self.vae.apply(
+                self.vae_params, zb, method=self.vae.decode
+            )
+
+        img = _batched(dec, z, batch).astype(jnp.float32)
+        return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+    # ---- UNet ---------------------------------------------------------
+
+    def unet_apply(self, params, sample, t, context, edit=None, **kw):
+        return self.unet.apply(
+            params, sample, t, context, edit=edit, **kw
+        )
+
+
+def _batched(fn, x, batch: int):
+    """Apply fn over leading-axis chunks (host loop; VAE calls are outside
+    the jitted samplers, mirroring the reference's VAE micro-batching)."""
+    n = x.shape[0]
+    if n <= batch:
+        return fn(x)
+    outs = [fn(x[i : i + batch]) for i in range(0, n, batch)]
+    return jnp.concatenate(outs, axis=0)
+
+
+def resolve_model_dir(
+    sd_version: str, model_dir: Optional[str] = None
+) -> Optional[str]:
+    if model_dir:
+        return model_dir if os.path.isdir(model_dir) else None
+    if sd_version not in MODEL_KEYS:
+        return None
+    key = MODEL_KEYS[sd_version]
+    root = os.environ.get("TOKENFLOW_MODELS")
+    if root:
+        for cand in (os.path.join(root, key), os.path.join(root, key.split("/")[-1])):
+            if os.path.isdir(cand):
+                return cand
+    # HF hub cache layout
+    hf_home = os.environ.get(
+        "HF_HOME", os.path.expanduser("~/.cache/huggingface")
+    )
+    snap_root = os.path.join(
+        hf_home, "hub", "models--" + key.replace("/", "--"), "snapshots"
+    )
+    if os.path.isdir(snap_root):
+        snaps = sorted(os.listdir(snap_root))
+        if snaps:
+            return os.path.join(snap_root, snaps[-1])
+    return None
+
+
+def load_stack(
+    sd_version: str,
+    *,
+    model_dir: Optional[str] = None,
+    dtype: Any = jnp.bfloat16,
+    param_dtype: Any = jnp.bfloat16,
+    init: str = "auto",  # "auto" | "pretrained" | "random"
+    seed: int = 0,
+) -> SDStack:
+    unet_cfg, vae_cfg, clip_cfg = configs_for(sd_version)
+    unet = UNet2DConditionModel(unet_cfg, dtype=dtype, param_dtype=param_dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=dtype, param_dtype=param_dtype)
+    text = CLIPTextModel(clip_cfg, dtype=dtype, param_dtype=param_dtype)
+
+    found = resolve_model_dir(sd_version, model_dir)
+    if init == "pretrained" and found is None:
+        raise FileNotFoundError(
+            f"no checkpoint for sd_version={sd_version} "
+            f"(looked at model_dir={model_dir!r}, $TOKENFLOW_MODELS, HF cache). "
+            f"Place a diffusers-layout checkpoint of {MODEL_KEYS[sd_version]} "
+            f"there, or pass init='random' for weightless smoke runs."
+        )
+
+    if found is not None and init != "random":
+        loaded = weights_lib.load_pretrained(found)
+
+        def cast(tree):
+            return jax.tree.map(
+                lambda a: jnp.asarray(a, param_dtype), tree
+            )
+
+        unet_params = {"params": cast(loaded["unet"]["params"])}
+        vae_params = {"params": cast(loaded["vae"]["params"])}
+        text_params = {"params": cast(loaded["text_encoder"]["params"])}
+        tok_dir = os.path.join(found, "tokenizer")
+        tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
+    else:
+        k = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(k, 3)
+        unet_params = unet.init(
+            k1,
+            jnp.zeros((1, 8, 8, unet_cfg.in_channels)),
+            jnp.asarray(0),
+            jnp.zeros((1, 77, unet_cfg.cross_attention_dim)),
+        )
+        vae_params = vae.init(k2, jnp.zeros((1, 32, 32, 3)))
+        text_params = text.init(
+            k3, jnp.zeros((1, 77), jnp.int32)
+        )
+        tokenizer = HashTokenizer(vocab_size=clip_cfg.vocab_size)
+
+    return SDStack(
+        sd_version=sd_version,
+        unet=unet,
+        unet_params=unet_params,
+        vae=vae,
+        vae_params=vae_params,
+        text_encoder=text,
+        text_params=text_params,
+        tokenizer=tokenizer,
+        dtype=dtype,
+    )

@@ -1,0 +1,44 @@
+"""Small host-side utilities (seeding, PSNR, timing)."""
+
+from __future__ import annotations
+
+import random
+import time
+
+import jax
+import numpy as np
+
+
+def seed_everything(seed: int) -> jax.Array:
+    """Seed python/numpy (and torch if importable) and return the JAX root
+    PRNG key. Parity intent: reference util.py:99-103; note JAX streams are
+    counter-based, so draws differ from torch's even at equal seeds (the
+    reproducibility contract is per-framework determinism)."""
+    random.seed(seed)
+    np.random.seed(seed)
+    try:
+        import torch
+
+        torch.manual_seed(seed)
+    except ImportError:
+        pass
+    return jax.random.PRNGKey(seed)
+
+
+def psnr(a: np.ndarray, b: np.ndarray, max_val: float = 1.0) -> float:
+    mse = float(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(max_val**2 / mse)
+
+
+class Timer:
+    """Wall-clock phase timer: with Timer() as t: ...; t.seconds."""
+
+    def __enter__(self):
+        self.start = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.seconds = time.perf_counter() - self.start
+        return False
