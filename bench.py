@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Headline benchmark: TokenFlow-PnP editing throughput on one chip.
+
+Workload = the reference's default PnP edit config (SURVEY.md §6 /
+BASELINE.md): 40 frames @ 512x512 (64x64 latents), 50 DDIM steps, keyframe
+window 8 (5 pivots), 3-stream CFG, PnP injection thresholds 0.5/0.8 —
+run as the jit-scanned TokenFlow loop with random-init SD-2.1 weights in
+bf16 (SD compute cost is weight-independent).
+
+Prints ONE JSON line:
+  metric       edited_frames_per_sec_512p (per chip)
+  value        frames / steady-state edit-loop seconds
+  vs_baseline  value / 0.667 — the north-star anchor from BASELINE.json
+               (40-frame edit incl. inversion in <60s on a v5e-8
+               => 0.667 frames/s end-to-end; the reference itself
+               publishes no numbers, BASELINE.md).
+
+Env knobs: BENCH_FRAMES, BENCH_STEPS, BENCH_LATENT (latent hw),
+BENCH_WINDOW, BENCH_CHUNK (propagation chunk), BENCH_TINY=1 (tiny stack
+for CPU smoke).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from tokenflow_tpu import runtime
+    from tokenflow_tpu.diffusion import ddim
+    from tokenflow_tpu.editing import pipeline
+
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
+    f_total = int(os.environ.get("BENCH_FRAMES", "4" if tiny else "40"))
+    steps = int(os.environ.get("BENCH_STEPS", "2" if tiny else "50"))
+    hw = int(os.environ.get("BENCH_LATENT", "8" if tiny else "64"))
+    window = int(os.environ.get("BENCH_WINDOW", "2" if tiny else "8"))
+    chunk_env = os.environ.get("BENCH_CHUNK", "")
+    chunk = int(chunk_env) if chunk_env else None
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+
+    stack = runtime.load_stack(
+        "tiny" if tiny else "2.1", init="random", dtype=dtype,
+        param_dtype=dtype,
+    )
+    ctx_dim = stack.unet.config.cross_attention_dim
+
+    sched = ddim.make_schedule(steps)
+    save_ts = sched.timesteps[::-1].copy()
+    schedule = pipeline.make_edit_schedule(
+        sched, save_ts, pnp_attn_t=0.5, pnp_f_t=0.8
+    )
+
+    rng = np.random.default_rng(0)
+    x_init = jnp.asarray(
+        rng.standard_normal((f_total, hw, hw, 4)), dtype
+    )
+    traj = jnp.asarray(
+        rng.standard_normal((steps, f_total, hw, hw, 4)), dtype
+    )
+    embeds3 = jnp.asarray(
+        rng.standard_normal((3, 77, ctx_dim)), dtype
+    )
+
+    def run_with_chunk(propagate_chunk):
+        def loop_fn(params, x0, tr, e3, key):
+            return pipeline.tokenflow_sample_loop(
+                stack.unet_apply, params, x0, tr, e3, schedule,
+                window_size=window, guidance_scale=7.5, pnp=True,
+                rng=key, propagate_chunk=propagate_chunk,
+            )
+
+        loop = jax.jit(loop_fn)
+        key = jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+        out = loop(stack.unet_params, x_init, traj, embeds3, key)
+        out.block_until_ready()
+        t_compile_and_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = loop(stack.unet_params, x_init, traj, embeds3, key)
+        out.block_until_ready()
+        t_steady = time.perf_counter() - t0
+        return t_compile_and_run, t_steady
+
+    chunks_to_try = [chunk] if chunk is not None else [None, window]
+    last_err = None
+    for c in chunks_to_try:
+        try:
+            t_first, t_steady = run_with_chunk(c)
+            chunk_used = c
+            break
+        except Exception as e:  # OOM fallback to window-sized chunks
+            last_err = e
+    else:
+        raise last_err
+
+    fps = f_total / t_steady
+    result = {
+        "metric": "edited_frames_per_sec_512p",
+        "value": round(fps, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / 0.667, 3),
+        "details": {
+            "frames": f_total,
+            "steps": steps,
+            "latent_hw": hw,
+            "window": window,
+            "propagate_chunk": chunk_used,
+            "edit_loop_seconds": round(t_steady, 2),
+            "first_call_seconds": round(t_first, 2),
+            "device": str(jax.devices()[0]),
+            "dtype": "bf16" if not tiny else "f32",
+            "tiny": tiny,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
