@@ -1,0 +1,119 @@
+"""TokenFlow-ControlNet editor CLI: keyframe extended attention + NN token
+propagation with ControlNet (canny) structural conditioning on every pass.
+
+The reference README advertises this runner (README.md:75
+``run_tokenflow_controlnet.py`` + ``configs/config_controlnet.yaml``) but
+the files are absent from its repo (SURVEY.md §0); the reference's
+ControlNet contract exists only in preprocess (preprocess.py:60-68,129-149).
+This implementation follows that contract: SD-1.5 base UNet, canny
+conditioning (thresholds 100/200) computed from the input frames, ControlNet
+residuals added to every UNet call of the TokenFlow loop (all 3 streams),
+no PnP injection (structure preservation comes from the ControlNet branch).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenflow_tpu import utils
+from tokenflow_tpu.cli import common
+from tokenflow_tpu.cli.controlnet_utils import build_controlnet
+from tokenflow_tpu.diffusion import ddim
+from tokenflow_tpu.editing import pipeline
+
+
+def edit_video(config: dict) -> np.ndarray:
+    rng = utils.seed_everything(config["seed"])
+    data = common.setup_editor(config, use_steps_dir=True)
+    common.save_vae_recon(data)
+
+    controlnet_fn, canny = build_controlnet(
+        data.stack,
+        data.frames,
+        argparse.Namespace(
+            controlnet_dir=config.get("controlnet_dir"),
+            init=config.get("init", "auto"),
+        ),
+    )
+
+    sched = ddim.make_schedule(config["n_timesteps"])
+    schedule = pipeline.make_edit_schedule(sched, data.trajectory.save_ts)
+
+    alpha_0 = sched.alphas_cumprod[sched.timesteps[0]]
+    x_init = ddim.add_noise(
+        data.latents.astype(jnp.float32), data.eps, alpha_0
+    )
+
+    def loop_fn(params, x0, traj, embeds3, rng, canny):
+        return pipeline.tokenflow_sample_loop(
+            data.stack.unet_apply,
+            params,
+            x0,
+            traj,
+            embeds3,
+            schedule,
+            window_size=config["batch_size"],
+            guidance_scale=config["guidance_scale"],
+            pnp=False,
+            rng=rng,
+            propagate_chunk=config.get("propagate_chunk"),
+            controlnet_fn=controlnet_fn,
+            cond_image=canny,
+        )
+
+    loop = jax.jit(loop_fn)
+    with utils.Timer() as t_edit:
+        latents_out = loop(
+            data.stack.unet_params,
+            x_init.astype(data.stack.dtype),
+            jnp.asarray(data.trajectory.traj, data.stack.dtype),
+            data.embeds3,
+            rng,
+            canny,
+        )
+        latents_out.block_until_ready()
+    print(
+        f"[tokenflow-tpu] ControlNet edit loop "
+        f"({len(schedule.timesteps)} steps): {t_edit.seconds:.1f}s "
+        f"({config['n_frames'] / t_edit.seconds:.2f} edited frames/s)"
+    )
+
+    decoded = common.save_outputs(data, latents_out, "ControlNet")
+    print("Done!")
+    return decoded
+
+
+def resolve_output_path(config: dict) -> dict:
+    config["output_path"] = os.path.join(
+        config["output_path"] + "_controlnet",
+        Path(config["data_path"]).stem,
+        config["prompt"][:240],
+        f"batch_size_{str(config['batch_size'])}",
+        str(config["n_timesteps"]),
+    )
+    return config
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--config_path", type=str, default="configs/config_controlnet.yaml"
+    )
+    opt = parser.parse_args(argv)
+    config = common.load_config(opt.config_path)
+    config = resolve_output_path(config)
+    os.makedirs(config["output_path"], exist_ok=True)
+    common.dump_config(config)
+    assert os.path.exists(config["data_path"]), "Data path does not exist"
+    print(config)
+    edit_video(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,8 @@ def tokenflow_sample_loop(
     rng: jax.Array,
     depth: Optional[jax.Array] = None,  # (F, h, w, 1)
     propagate_chunk: Optional[int] = None,  # frames, multiple of window_size
+    controlnet_fn: Optional[Callable] = None,  # (sample,t,ctx,cond)->(down,mid)
+    cond_image: Optional[jax.Array] = None,  # (F, H, W, 3) for controlnet_fn
 ) -> jax.Array:
     """Run the full TokenFlow edit; returns denoised latents (F, h, w, 4)."""
     f_total = x_init.shape[0]
@@ -136,9 +138,22 @@ def tokenflow_sample_loop(
 
     pa_c, pb_c, w1_c = chunk_view(pa), chunk_view(pb), chunk_view(w1)
     depth_c = None if depth is None else chunk_view(depth)
+    cond_c = None if cond_image is None else chunk_view(cond_image)
 
     embeds_piv = _stream_embeds(embeds3, n_windows)
     embeds_prop = _stream_embeds(embeds3, chunk)
+
+    def residual_kwargs(sample, t, embeds, cond):
+        """ControlNet residuals for a 3-stream pass (cond replicated per
+        stream, matching the reference's 3x concat of the conditioning,
+        run_tokenflow_pnp.py:201 analog for depth)."""
+        if controlnet_fn is None:
+            return {}
+        cond3 = jnp.concatenate([cond, cond, cond], axis=0)
+        down, mid = controlnet_fn(sample, t, embeds, cond3)
+        return dict(
+            down_block_residuals=down, mid_block_residual=mid
+        )
 
     def step_fn(x, xs):
         a_t, a_prev, t, slot, qk_g, conv_g, key = xs
@@ -169,11 +184,17 @@ def tokenflow_sample_loop(
         )
         # pivot eps is discarded — only the cache matters (the reference
         # does the same, run_tokenflow_pnp.py:227)
-        _, cache = unet_apply(params, sample_piv, t, embeds_piv, edit_piv)
+        _, cache = unet_apply(
+            params, sample_piv, t, embeds_piv, edit_piv,
+            **residual_kwargs(
+                sample_piv, t, embeds_piv,
+                None if cond_image is None else cond_image[piv],
+            ),
+        )
 
         # ---- propagation pass over all frames (chunked)
         def prop_one(args):
-            x_c, src_c, pa_i, pb_i, w1_i, d_i = args
+            x_c, src_c, pa_i, pb_i, w1_i, d_i, cn_i = args
             sample = jnp.concatenate(
                 [
                     _with_depth(src_c, d_i),
@@ -193,25 +214,33 @@ def tokenflow_sample_loop(
                 prop_pb=pb_i,
                 prop_w1=w1_i,
             )
-            eps_c, _ = unet_apply(params, sample, t, embeds_prop, edit)
+            eps_c, _ = unet_apply(
+                params, sample, t, embeds_prop, edit,
+                **residual_kwargs(sample, t, embeds_prop, cn_i),
+            )
             return eps_c.reshape(3, chunk, *eps_c.shape[1:])
 
         x_c, src_c = chunk_view(x), chunk_view(src)
         if n_chunks == 1:
             eps3 = prop_one(
                 (x_c[0], src_c[0], pa_c[0], pb_c[0], w1_c[0],
-                 None if depth is None else depth_c[0])
+                 None if depth is None else depth_c[0],
+                 None if cond_image is None else cond_c[0])
             )
         else:
-            if depth is None:
-                eps3 = jax.lax.map(
-                    lambda a: prop_one((*a, None)),
-                    (x_c, src_c, pa_c, pb_c, w1_c),
-                )
-            else:
-                eps3 = jax.lax.map(
-                    prop_one, (x_c, src_c, pa_c, pb_c, w1_c, depth_c)
-                )
+            # lax.map can't carry None leaves; assemble present aux arrays
+            aux = [a for a in (depth_c, cond_c) if a is not None]
+
+            def unpack(args):
+                x_i, src_i, pa_i, pb_i, w1_i, *rest = args
+                it = iter(rest)
+                d_i = next(it) if depth is not None else None
+                cn_i = next(it) if cond_image is not None else None
+                return prop_one((x_i, src_i, pa_i, pb_i, w1_i, d_i, cn_i))
+
+            eps3 = jax.lax.map(
+                unpack, (x_c, src_c, pa_c, pb_c, w1_c, *aux)
+            )
             # (n_chunks, 3, chunk, ...) -> (3, F, ...)
             eps3 = eps3.swapaxes(0, 1).reshape(3, f_total, *eps3.shape[3:])
 

@@ -139,6 +139,29 @@ def convert_unet_state_dict(
     return params
 
 
+_CONTROLNET_RULES = _UNET_RULES + [
+    (r"controlnet_cond_embedding\.conv_in\.", r"cond_embedding.conv_in."),
+    (r"controlnet_cond_embedding\.blocks\.(\d+)\.", r"cond_embedding.block_\1."),
+    (r"controlnet_cond_embedding\.conv_out\.", r"cond_embedding.conv_out."),
+    (r"controlnet_down_blocks\.(\d+)\.", r"controlnet_down_\1."),
+    (r"controlnet_mid_block\.", r"controlnet_mid."),
+]
+
+
+def convert_controlnet_state_dict(
+    sd: dict[str, np.ndarray]
+) -> dict[str, Any]:
+    params: dict[str, Any] = {}
+    for key, w in sd.items():
+        if key.endswith("position_ids"):
+            continue
+        new = _apply_rules(key, _CONTROLNET_RULES)
+        parts = new.split(".")
+        leaf_name, leaf = _leaf(parts[-1], w)
+        _insert(params, parts[:-1] + [leaf_name], leaf)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # VAE
 # ---------------------------------------------------------------------------
@@ -233,7 +256,7 @@ def load_pretrained(
         "unet": convert_unet_state_dict,
         "vae": convert_vae_state_dict,
         "text_encoder": convert_clip_text_state_dict,
-        "controlnet": convert_unet_state_dict,  # shares UNet naming + extras
+        "controlnet": convert_controlnet_state_dict,
     }
     out: dict[str, Any] = {}
     for comp in components:
