@@ -1,0 +1,119 @@
+"""Multi-device SPMD tests on the 8-virtual-device CPU mesh (SURVEY.md §4:
+sharded vs single-device outputs must match)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tokenflow_tpu.diffusion import ddim
+from tokenflow_tpu.editing import pipeline
+from tokenflow_tpu.models.unet2d import UNet2DConfig, UNet2DConditionModel
+from tokenflow_tpu.sharding import mesh as mesh_lib
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = UNet2DConfig.tiny()
+    model = UNet2DConditionModel(cfg)
+    hw = 16
+    x = jnp.zeros((2, hw, hw, 4))
+    ctx = jnp.zeros((2, 7, cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.asarray(0), ctx)
+    return model, params, cfg, hw
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_edit_loop_matches_single_device(tiny):
+    model, params, cfg, hw = tiny
+    n_dev = 8
+    ws = 2
+    f_total = n_dev * ws  # one window per device
+    steps = 2
+
+    sched = ddim.make_schedule(steps)
+    save_ts = sched.timesteps[::-1].copy()
+    schedule = pipeline.make_edit_schedule(
+        sched, save_ts, pnp_attn_t=0.5, pnp_f_t=0.8
+    )
+    rng = np.random.default_rng(0)
+    x_init = jnp.asarray(
+        rng.standard_normal((f_total, hw, hw, 4)), jnp.float32
+    )
+    traj = jnp.asarray(
+        rng.standard_normal((steps, f_total, hw, hw, 4)), jnp.float32
+    )
+    embeds3 = jnp.asarray(
+        rng.standard_normal((3, 7, cfg.cross_attention_dim)), jnp.float32
+    )
+    key = jax.random.PRNGKey(7)
+
+    def unet_apply(p, sample, t, ctx, edit, **kw):
+        return model.apply(p, sample, t, ctx, edit=edit, **kw)
+
+    # single device
+    single = pipeline.tokenflow_sample_loop(
+        unet_apply, params, x_init, traj, embeds3, schedule,
+        window_size=ws, guidance_scale=7.5, pnp=True, rng=key,
+    )
+
+    # 8-device frames mesh
+    m = mesh_lib.make_frames_mesh(n_dev)
+    mesh_lib.check_divisible(f_total, m, ws)
+    loop = mesh_lib.sharded_edit_loop(
+        unet_apply, params, schedule, m,
+        window_size=ws, guidance_scale=7.5, pnp=True,
+    )
+    sharded = loop(params, x_init, traj, embeds3, key)
+
+    assert sharded.sharding.is_equivalent_to(
+        mesh_lib.frames_sharding(m), sharded.ndim
+    )
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), rtol=5e-5, atol=5e-5
+    )
+
+
+def test_sharded_inversion_matches_single_device(tiny):
+    model, params, cfg, hw = tiny
+    f_total, steps = 8, 4
+    sched = ddim.make_schedule(steps)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(
+        rng.standard_normal((f_total, hw, hw, 4)) * 0.3, jnp.float32
+    )
+    cond = jnp.asarray(
+        rng.standard_normal((1, 7, cfg.cross_attention_dim)), jnp.float32
+    )
+
+    def eps_fn(x, t):
+        ctx = jnp.broadcast_to(cond, (x.shape[0], *cond.shape[1:]))
+        return model.apply(params, x, t, ctx)[0]
+
+    from tokenflow_tpu.diffusion import inversion
+
+    xT_single, traj_single, _ = inversion.ddim_inversion(
+        eps_fn, x0, sched, steps
+    )
+
+    m = mesh_lib.make_frames_mesh(8)
+    fn = mesh_lib.sharded_inversion(eps_fn, sched, steps, m)
+    xT_sh, traj_sh, _ = fn(x0)
+
+    np.testing.assert_allclose(
+        np.asarray(xT_single), np.asarray(xT_sh), rtol=5e-5, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_single), np.asarray(traj_sh), rtol=5e-5, atol=5e-5
+    )
+
+
+def test_check_divisible_errors():
+    m = mesh_lib.make_frames_mesh(8)
+    with pytest.raises(ValueError, match="divide"):
+        mesh_lib.check_divisible(12, m)
+    with pytest.raises(ValueError, match="window_size"):
+        mesh_lib.check_divisible(8, m, window_size=2)

@@ -1,0 +1,117 @@
+"""Device-mesh sharding for the frame axis (SURVEY.md §2.12).
+
+The parallelism model: video frames are the batch dimension, so the mesh
+has a single ``frames`` axis. Per pass:
+
+  - VAE encode/decode and DDIM inversion are embarrassingly parallel over
+    frames — pure data parallelism, zero communication beyond the initial
+    shard placement;
+  - propagation passes are frame-parallel given the (small, replicated)
+    keyframe cache — window boundaries never cross shard boundaries when
+    frames_per_device is a multiple of window_size;
+  - the pivotal pass is the coupling point: extended attention flattens
+    the keyframe axis into the sequence, so sharding it means sharding the
+    query sequence while the K/V sequence is all-gathered over ICI (the
+    Ulysses-style analog — SURVEY.md §5 "long-context"). At default sizes
+    (5 keyframes) the pass is small and XLA freely replicates it.
+
+Everything uses jit + NamedSharding annotations; XLA inserts the
+collectives. No NCCL/MPI analog exists or is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+FRAMES = "frames"
+
+
+def make_frames_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), axis_names=(FRAMES,))
+
+
+def frames_sharding(mesh: Mesh, frame_axis: int = 0) -> NamedSharding:
+    spec = [None] * frame_axis + [FRAMES]
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def check_divisible(n_frames: int, mesh: Mesh, window_size: int = 1) -> None:
+    n_dev = mesh.devices.size
+    if n_frames % n_dev:
+        raise ValueError(
+            f"n_frames={n_frames} must divide over {n_dev} devices"
+        )
+    per_dev = n_frames // n_dev
+    if window_size > 1 and per_dev % window_size:
+        raise ValueError(
+            f"frames/device={per_dev} must be a multiple of "
+            f"window_size={window_size} so propagation windows stay local"
+        )
+
+
+def sharded_edit_loop(
+    unet_apply,
+    params,
+    schedule,
+    mesh: Mesh,
+    *,
+    window_size: int,
+    guidance_scale: float,
+    pnp: bool,
+    propagate_chunk: Optional[int] = None,
+):
+    """jit the TokenFlow edit loop over a frames mesh.
+
+    Returns fn(params, x_init, traj, embeds3, rng) with x/traj sharded on
+    the frame axis and params/embeds replicated.
+    """
+    from tokenflow_tpu.editing import pipeline
+
+    def loop_fn(p, x0, traj, embeds3, rng):
+        return pipeline.tokenflow_sample_loop(
+            unet_apply, p, x0, traj, embeds3, schedule,
+            window_size=window_size, guidance_scale=guidance_scale,
+            pnp=pnp, rng=rng, propagate_chunk=propagate_chunk,
+        )
+
+    fsh = frames_sharding(mesh)
+    tsh = frames_sharding(mesh, frame_axis=1)
+    repl = replicated(mesh)
+    return jax.jit(
+        loop_fn,
+        in_shardings=(
+            jax.tree.map(lambda _: repl, params),
+            fsh,
+            tsh,
+            repl,
+            repl,
+        ),
+        out_shardings=fsh,
+    )
+
+
+def sharded_inversion(
+    eps_fn, sched, save_steps: int, mesh: Mesh
+):
+    """jit the inversion scan with latents sharded over frames."""
+    from tokenflow_tpu.diffusion import inversion
+
+    fsh = frames_sharding(mesh)
+    tsh = frames_sharding(mesh, frame_axis=1)
+
+    def fn(x0):
+        return inversion.ddim_inversion(eps_fn, x0, sched, save_steps)
+
+    return jax.jit(
+        fn, in_shardings=(fsh,), out_shardings=(fsh, tsh, None)
+    )
