@@ -69,17 +69,21 @@ def edit_video(config: dict) -> np.ndarray:
             propagate_chunk=config.get("propagate_chunk"),
         )
 
+    from tokenflow_tpu import profiling
+
+    metrics = profiling.PhaseMetrics()
     loop = jax.jit(loop_fn)
-    with utils.Timer() as t_edit:
-        latents_out = loop(
-            data.stack.unet_params,
-            x_init.astype(data.stack.dtype),
-            jnp.asarray(data.trajectory.traj, data.stack.dtype),
-            data.embeds3,
-            rng,
-            depth,
-        )
-        latents_out.block_until_ready()
+    with profiling.trace(os.environ.get("TOKENFLOW_TRACE_DIR")):
+        with metrics.phase("edit_loop"), utils.Timer() as t_edit:
+            latents_out = loop(
+                data.stack.unet_params,
+                x_init.astype(data.stack.dtype),
+                jnp.asarray(data.trajectory.traj, data.stack.dtype),
+                data.embeds3,
+                rng,
+                depth,
+            )
+            latents_out.block_until_ready()
     n_steps = len(schedule.timesteps)
     fps = config["n_frames"] / t_edit.seconds
     print(
@@ -88,7 +92,11 @@ def edit_video(config: dict) -> np.ndarray:
         f"({fps:.2f} edited frames/s)"
     )
 
-    decoded = common.save_outputs(data, latents_out, "PnP")
+    with metrics.phase("decode_and_save"):
+        decoded = common.save_outputs(data, latents_out, "PnP")
+    metrics.add("edited_frames_per_sec", round(fps, 3))
+    metrics.add("n_steps", n_steps)
+    metrics.dump(os.path.join(config["output_path"], "metrics.json"))
     print("Done!")
     return decoded
 
