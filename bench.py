@@ -76,13 +76,17 @@ def main():
 
         loop = jax.jit(loop_fn)
         key = jax.random.PRNGKey(0)
+
+        def sync(o):
+            # block_until_ready is a no-op under the axon TPU relay; force
+            # completion by pulling a device-computed scalar to the host.
+            return float(jnp.sum(o.astype(jnp.float32)))
+
         t0 = time.perf_counter()
-        out = loop(stack.unet_params, x_init, traj, embeds3, key)
-        out.block_until_ready()
+        sync(loop(stack.unet_params, x_init, traj, embeds3, key))
         t_compile_and_run = time.perf_counter() - t0
         t0 = time.perf_counter()
-        out = loop(stack.unet_params, x_init, traj, embeds3, key)
-        out.block_until_ready()
+        sync(loop(stack.unet_params, x_init, traj, embeds3, key))
         t_steady = time.perf_counter() - t0
         return t_compile_and_run, t_steady
 

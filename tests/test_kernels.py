@@ -1,0 +1,47 @@
+"""Pallas kernel tests (interpret mode on CPU; real-hardware runs are
+covered by the `tpu`-marked variants)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tokenflow_tpu.kernels.flash_attention import flash_attention_pallas
+from tokenflow_tpu.ops.attention import sdp_attention
+
+
+def _rand(shape, seed):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape), jnp.float32
+    )
+
+
+@pytest.mark.parametrize(
+    "sq,skv,bq,bk",
+    [(16, 16, 8, 8), (32, 100, 16, 32), (24, 64, 8, 16)],
+)
+def test_flash_pallas_matches_sdp_interpret(sq, skv, bq, bk):
+    b, h, d = 2, 3, 16
+    q = _rand((b, sq, h, d), 0)
+    k = _rand((b, skv, h, d), 1)
+    v = _rand((b, skv, h, d), 2)
+    ref = sdp_attention(q, k, v)
+    out = flash_attention_pallas(
+        q, k, v, bq=bq, bk=bk, interpret=True
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.tpu
+def test_flash_pallas_matches_sdp_tpu():
+    b, h, d, sq, skv = 2, 5, 64, 1024, 4096
+    q = _rand((b, sq, h, d), 0).astype(jnp.bfloat16)
+    k = _rand((b, skv, h, d), 1).astype(jnp.bfloat16)
+    v = _rand((b, skv, h, d), 2).astype(jnp.bfloat16)
+    ref = sdp_attention(q, k, v)
+    out = flash_attention_pallas(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref, np.float32),
+        rtol=2e-2,
+        atol=2e-2,
+    )

@@ -150,7 +150,7 @@ def run(opt) -> dict:
             )
         )
         x_T, traj, save_ts = invert(lat)
-        x_T.block_until_ready()
+        utils.force_completion(x_T)
     print(f"[tokenflow-tpu] inversion ({opt.steps} steps): {t_inv.seconds:.1f}s")
 
     with utils.Timer() as t_rec:
@@ -158,7 +158,7 @@ def run(opt) -> dict:
             lambda x: inversion.ddim_reconstruction(eps_fn, x, sched)
         )
         lat_rec = recon(x_T)
-        lat_rec.block_until_ready()
+        utils.force_completion(lat_rec)
     print(f"[tokenflow-tpu] reconstruction: {t_rec.seconds:.1f}s")
 
     latents_io.save_trajectory(

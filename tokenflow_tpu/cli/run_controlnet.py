@@ -77,7 +77,7 @@ def edit_video(config: dict) -> np.ndarray:
             rng,
             canny,
         )
-        latents_out.block_until_ready()
+        utils.force_completion(latents_out)
     print(
         f"[tokenflow-tpu] ControlNet edit loop "
         f"({len(schedule.timesteps)} steps): {t_edit.seconds:.1f}s "

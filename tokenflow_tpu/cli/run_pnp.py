@@ -83,7 +83,7 @@ def edit_video(config: dict) -> np.ndarray:
                 rng,
                 depth,
             )
-            latents_out.block_until_ready()
+            utils.force_completion(latents_out)
     n_steps = len(schedule.timesteps)
     fps = config["n_frames"] / t_edit.seconds
     print(

@@ -100,7 +100,7 @@ def edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
             data.embeds3,
             rng,
         )
-        latents_out.block_until_ready()
+        utils.force_completion(latents_out)
     print(
         f"[tokenflow-tpu] SDEdit loop ({len(schedule.timesteps)} steps): "
         f"{t_edit.seconds:.1f}s "

@@ -1,0 +1,173 @@
+"""Pallas TPU flash attention (online softmax, VMEM accumulators).
+
+The hot kernel behind keyframe extended attention (ops/extended_attention):
+the extended streams attend over the flattened keyframe sequence
+(Skv = n_kf * seq, up to ~1.4e5 tokens at BASELINE config 5), and the
+jnp fallback's lax.scan keeps its fp32 accumulator in HBM — this kernel
+keeps (acc, m, l) in VMEM across the sequential KV grid dimension and
+writes each output block exactly once.
+
+Layout: (B, H, Sq, D) inside the kernel (head-major so blocks are 2D
+(S, D) tiles); the public wrapper accepts the framework's (B, S, H, D).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, skv, bk
+):
+    jk = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(jk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0, 0]  # (BQ, D)
+    k = k_ref[0, 0]  # (BK, D)
+    v = v_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (BQ, BK)
+
+    # mask KV padding in the final block
+    if skv % bk != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * bk
+        s = jnp.where(col < skv, s, NEG_INF)
+
+    m_prev = m_ref[:]  # (BQ, 1)
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:] = l_ref[:] * corr + p.sum(axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * corr + pv
+
+    @pl.when(jk == n_k - 1)
+    def _finish():
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, mult):
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "bq", "bk", "interpret")
+)
+def flash_attention_bhsd(
+    q: jax.Array,  # (B, H, Sq, D)
+    k: jax.Array,  # (B, H, Skv, D)
+    v: jax.Array,
+    *,
+    scale: float,
+    bq: int = 512,
+    bk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = min(bq, max(sq, 8))
+    bk = min(bk, max(skv, 8))
+
+    qp = _pad_to(q, 2, bq)
+    kp = _pad_to(k, 2, bk)
+    vp = _pad_to(v, 2, bk)
+    n_q = qp.shape[2] // bq
+    n_k = kp.shape[2] // bk
+
+    grid = (b, h, n_q, n_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, skv=skv, bk=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, bq, d),
+                lambda bi, hi, iq, jk: (bi, hi, iq, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, d),
+                lambda bi, hi, iq, jk: (bi, hi, jk, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, d),
+                lambda bi, hi, iq, jk: (bi, hi, jk, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, d),
+            lambda bi, hi, iq, jk: (bi, hi, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * skv * d,
+            bytes_accessed=(
+                q.size + k.size + v.size + q.size
+            ) * q.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :, :sq]
+
+
+def flash_attention_pallas(
+    q: jax.Array,  # (B, Sq, H, D) — framework layout
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float | None = None,
+    bq: int = 512,
+    bk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    out = flash_attention_bhsd(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        scale=scale,
+        bq=bq,
+        bk=bk,
+        interpret=interpret,
+    )
+    return out.transpose(0, 2, 1, 3)

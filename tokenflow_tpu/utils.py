@@ -32,6 +32,20 @@ def psnr(a: np.ndarray, b: np.ndarray, max_val: float = 1.0) -> float:
     return 10.0 * np.log10(max_val**2 / mse)
 
 
+def force_completion(x) -> None:
+    """Force device computation to finish for wall-clock timing.
+
+    ``block_until_ready`` is a no-op under some remote-TPU transports (the
+    axon relay), so completion is forced by pulling a device-computed
+    scalar to the host (cost: one tiny reduce + scalar transfer)."""
+    import jax.numpy as jnp
+
+    for leaf in jax.tree.leaves(x):
+        if hasattr(leaf, "astype"):
+            float(jnp.sum(leaf.astype(jnp.float32)))
+            return
+
+
 class Timer:
     """Wall-clock phase timer: with Timer() as t: ...; t.seconds."""
 
