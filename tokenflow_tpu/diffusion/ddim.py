@@ -227,6 +227,22 @@ def classifier_free_guidance(eps_uncond, eps_cond, scale):
     return eps_uncond + scale * (eps_cond - eps_uncond)
 
 
+def get_timesteps(
+    sched: DDIMSchedule, strength: float
+) -> tuple[np.ndarray, int]:
+    """Strength-truncated timestep grid.
+
+    Parity: reference preprocess.py:17-24 — keep the last
+    ``int(steps * strength)`` timesteps (strength=1.0 keeps all; used for
+    the save grid at preprocess.py:297-301).
+    """
+    n = sched.num_inference_steps
+    init_timestep = min(int(n * strength), n)
+    t_start = max(n - init_timestep, 0)
+    ts = sched.timesteps[t_start:]
+    return ts, n - t_start
+
+
 def save_grid(
     inversion_steps: int, save_steps: int, num_train_timesteps: int = 1000
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -13,8 +13,25 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def use_pallas() -> bool:
+    """Kernel dispatch switch. TOKENFLOW_PALLAS=1 forces the Pallas
+    kernels, =0 forces the jnp paths; 'auto' (default) enables them on TPU
+    backends."""
+    env = os.environ.get("TOKENFLOW_PALLAS", "auto")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def split_heads(x: jax.Array, heads: int) -> jax.Array:
@@ -76,6 +93,16 @@ def flash_attention(
     skv = k.shape[1]
     if skv <= kv_block:
         return sdp_attention(q, k, v, scale=scale)
+
+    if use_pallas() and d % 8 == 0 and q.dtype in (
+        jnp.bfloat16,
+        jnp.float32,
+    ):
+        from tokenflow_tpu.kernels.flash_attention import (
+            flash_attention_pallas,
+        )
+
+        return flash_attention_pallas(q, k, v, scale=scale)
 
     n_blocks = -(-skv // kv_block)
     pad = n_blocks * kv_block - skv

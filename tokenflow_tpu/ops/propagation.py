@@ -102,6 +102,24 @@ def token_propagation(
     p = pivot_h_src.astype(jnp.float32)
     p_hat = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-12)
 
+    from tokenflow_tpu.ops.attention import use_pallas
+
+    if use_pallas() and s % 128 == 0 and d % 8 == 0:
+        from tokenflow_tpu.kernels.token_match import (
+            fits_vmem,
+            token_match_gather_pallas,
+        )
+
+        if fits_vmem(s, d):
+            return token_match_gather_pallas(
+                norm_h_src,
+                p_hat.astype(norm_h_src.dtype),
+                kf_attn,
+                pa_f,
+                pb_f,
+                w1,
+            )
+
     # Fully batched over frames (no lax.map): keeps the frame axis a real
     # array axis so pjit can shard it across devices. Peak transient is the
     # (F, S, S) similarity tensor — bounded by the pipeline's
