@@ -139,6 +139,41 @@ def test_sd21_unet_structure():
     assert set(cache_shapes) == set(editctx.SELF_ATTN_SITES)
 
 
+def test_unet_conv_projection_path():
+    """SD-1.5-style config: conv proj_in/out (use_linear_projection=False)
+    and d_head = C/heads with non-64 head dims."""
+    cfg = UNet2DConfig(
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        cross_attention_dim=32,
+        num_heads=(8, 8),  # d_head 4, 8 — the SD-1.5 C/8 convention
+        use_linear_projection=False,
+        attn_down=(True, False),
+        attn_up=(False, True),
+    )
+    model = UNet2DConditionModel(cfg)
+    x = jnp.ones((2, 16, 16, 4)) * 0.1
+    ctx = jnp.ones((2, 7, 32)) * 0.1
+    params = model.init(jax.random.PRNGKey(0), x, jnp.asarray(3), ctx)
+    # conv projections materialize as (1,1,C,C) kernels
+    k = params["params"]["down_0_attn_0"]["proj_in"]["kernel"]
+    assert k.shape == (1, 1, 32, 32)
+    eps, _ = model.apply(params, x, jnp.asarray(3), ctx)
+    assert eps.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(eps)).all()
+
+
+def test_unet_depth_input_channels():
+    cfg = UNet2DConfig.tiny()
+    cfg = UNet2DConfig(**{**cfg.__dict__, "in_channels": 5})
+    model = UNet2DConditionModel(cfg)
+    x = jnp.ones((2, 16, 16, 5)) * 0.1
+    ctx = jnp.ones((2, 7, cfg.cross_attention_dim)) * 0.1
+    params = model.init(jax.random.PRNGKey(0), x, jnp.asarray(3), ctx)
+    eps, _ = model.apply(params, x, jnp.asarray(3), ctx)
+    assert eps.shape == (2, 16, 16, 4)  # out_channels stays 4
+
+
 # ---------------------------------------------------------------------------
 # VAE
 # ---------------------------------------------------------------------------

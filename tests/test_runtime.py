@@ -1,0 +1,54 @@
+"""Runtime stack assembly tests (tiny weightless stack)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tokenflow_tpu import runtime
+
+
+@pytest.fixture(scope="module")
+def stack():
+    return runtime.load_stack("tiny", init="random", dtype=jnp.float32,
+                              param_dtype=jnp.float32)
+
+
+def test_encode_prompt_order(stack):
+    out = stack.encode_prompt("a cat", "ugly")
+    assert out.shape == (2, 77, stack.text_encoder.config.hidden_size)
+    # uncond (negative) first, cond second — reference embedding order
+    out2 = stack.encode_prompt("a cat", "a cat")
+    np.testing.assert_allclose(
+        np.asarray(out2[0]), np.asarray(out2[1]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_vae_roundtrip_runs(stack):
+    rng = np.random.default_rng(0)
+    frames = rng.random((3, 32, 32, 3)).astype(np.float32)
+    lat = stack.encode_frames(frames, batch=2)
+    assert lat.shape == (3, 16, 16, 4)
+    img = stack.decode_latents(lat, batch=2)
+    assert img.shape == (3, 32, 32, 3)
+    assert float(jnp.min(img)) >= 0.0 and float(jnp.max(img)) <= 1.0
+
+
+def test_unknown_sd_version():
+    with pytest.raises(ValueError, match="not supported"):
+        runtime.configs_for("9.9")
+
+
+def test_pretrained_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError, match="checkpoint"):
+        runtime.load_stack(
+            "2.1", model_dir=str(tmp_path / "nope"), init="pretrained"
+        )
+
+
+def test_sd15_configs():
+    unet_cfg, vae_cfg, clip_cfg = runtime.configs_for("1.5")
+    assert unet_cfg.cross_attention_dim == 768
+    assert not unet_cfg.use_linear_projection
+    assert clip_cfg.hidden_act == "quick_gelu"
+    unet_cfg, _, _ = runtime.configs_for("depth")
+    assert unet_cfg.in_channels == 5
