@@ -148,3 +148,23 @@ def test_sdedit_edit_e2e(inverted):
         )
     finally:
         os.chdir(cwd)
+
+
+def test_validate_config_errors():
+    from tokenflow_tpu.cli.common import validate_config
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="missing required"):
+        validate_config({"seed": 1}, "pnp")
+    base = {
+        k: 1
+        for k in (
+            "seed output_path data_path latents_path n_frames sd_version "
+            "guidance_scale n_timesteps prompt negative_prompt batch_size "
+            "n_inversion_steps pnp_attn_t pnp_f_t"
+        ).split()
+    }
+    validate_config(dict(base), "pnp")  # ok
+    with _pytest.raises(ValueError, match="propagate_chunk"):
+        validate_config({**base, "batch_size": 2, "propagate_chunk": 3}, "pnp")

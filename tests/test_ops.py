@@ -193,3 +193,15 @@ def test_token_propagation_chunked_equals_full():
     np.testing.assert_allclose(
         full, np.concatenate(parts, axis=1), rtol=1e-6, atol=1e-6
     )
+
+
+def test_batch_cosine_sim_matches_reference_math():
+    from tokenflow_tpu.ops.propagation import batch_cosine_sim
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((5, 8))
+    y = rng.standard_normal((7, 8))
+    got = batch_cosine_sim(jnp.asarray(x), jnp.asarray(y))
+    xn = x / np.linalg.norm(x, axis=-1, keepdims=True)
+    yn = y / np.linalg.norm(y, axis=-1, keepdims=True)
+    np.testing.assert_allclose(got, xn @ yn.T, rtol=1e-5, atol=1e-6)

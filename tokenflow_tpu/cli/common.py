@@ -22,6 +22,42 @@ from tokenflow_tpu.io import video as video_io
 VAE_BATCH_SIZE = 10  # reference run_tokenflow_pnp.py:22
 
 
+REQUIRED_KEYS = {
+    "base": (
+        "seed", "output_path", "data_path", "latents_path", "n_frames",
+        "sd_version", "guidance_scale", "n_timesteps", "prompt",
+        "negative_prompt", "batch_size",
+    ),
+    "pnp": ("n_inversion_steps", "pnp_attn_t", "pnp_f_t"),
+    "sdedit": ("start",),
+    "controlnet": ("n_inversion_steps",),
+}
+
+
+def validate_config(config: dict, mode: str) -> dict:
+    """Fail fast with a precise message on missing keys (the reference
+    passes raw dicts around and KeyErrors deep inside — SURVEY.md §5)."""
+    missing = [
+        k
+        for k in REQUIRED_KEYS["base"] + REQUIRED_KEYS.get(mode, ())
+        if k not in config
+    ]
+    if missing:
+        raise KeyError(
+            f"config missing required keys for {mode}: {missing}"
+        )
+    if config["n_frames"] % config["batch_size"]:
+        # parity: clamped later by find_latents_path, just warn here
+        pass
+    pc = config.get("propagate_chunk")
+    if pc is not None and pc % config["batch_size"]:
+        raise ValueError(
+            "propagate_chunk must be a multiple of batch_size "
+            f"({pc} % {config['batch_size']})"
+        )
+    return config
+
+
 def load_config(config_path: str) -> dict:
     with open(config_path) as f:
         return yaml.safe_load(f)

@@ -107,6 +107,7 @@ def main(argv=None):
     )
     opt = parser.parse_args(argv)
     config = common.load_config(opt.config_path)
+    common.validate_config(config, "controlnet")
     config = resolve_output_path(config)
     os.makedirs(config["output_path"], exist_ok=True)
     common.dump_config(config)

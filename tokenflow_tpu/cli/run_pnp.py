@@ -121,6 +121,7 @@ def main(argv=None):
     )
     opt = parser.parse_args(argv)
     config = common.load_config(opt.config_path)
+    common.validate_config(config, "pnp")
     config = resolve_output_path(config)
     os.makedirs(config["output_path"], exist_ok=True)
     assert os.path.exists(config["data_path"]), "Data path does not exist"

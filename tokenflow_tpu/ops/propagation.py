@@ -39,6 +39,20 @@ import jax
 import jax.numpy as jnp
 
 
+def batch_cosine_sim(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Row-wise cosine similarity matrix (x @ y^T after L2 normalization).
+
+    Public-API parity with reference util.py:61-69 (the token-
+    correspondence primitive); the fused propagation paths below avoid
+    materializing it.
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+    y = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-12)
+    return jnp.einsum("id,jd->ij", x, y, preferred_element_type=jnp.float32)
+
+
 def propagation_indices(
     n_frames: int, window_size: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
