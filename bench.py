@@ -91,15 +91,26 @@ def main():
         return t_compile_and_run, t_steady
 
     chunks_to_try = [chunk] if chunk is not None else [None, window]
+    pallas_modes = (
+        [os.environ["TOKENFLOW_PALLAS"]]
+        if "TOKENFLOW_PALLAS" in os.environ
+        else ["auto", "0"]  # fall back to jnp paths if a kernel fails
+    )
     last_err = None
-    for c in chunks_to_try:
-        try:
-            t_first, t_steady = run_with_chunk(c)
-            chunk_used = c
+    done = False
+    for pm in pallas_modes:
+        os.environ["TOKENFLOW_PALLAS"] = pm
+        for c in chunks_to_try:
+            try:
+                t_first, t_steady = run_with_chunk(c)
+                chunk_used = c
+                done = True
+                break
+            except Exception as e:  # OOM / kernel failure fallback
+                last_err = e
+        if done:
             break
-        except Exception as e:  # OOM fallback to window-sized chunks
-            last_err = e
-    else:
+    if not done:
         raise last_err
 
     fps = f_total / t_steady
@@ -114,6 +125,7 @@ def main():
             "latent_hw": hw,
             "window": window,
             "propagate_chunk": chunk_used,
+            "pallas": os.environ.get("TOKENFLOW_PALLAS", "auto"),
             "edit_loop_seconds": round(t_steady, 2),
             "first_call_seconds": round(t_first, 2),
             "device": str(jax.devices()[0]),

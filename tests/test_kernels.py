@@ -31,6 +31,36 @@ def test_flash_pallas_matches_sdp_interpret(sq, skv, bq, bk):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_token_match_pallas_matches_jnp_interpret():
+    from tokenflow_tpu.kernels.token_match import token_match_gather_pallas
+    from tokenflow_tpu.ops.propagation import (
+        propagation_indices,
+        token_propagation,
+    )
+
+    rng = np.random.default_rng(3)
+    f_total, ws, s, d, kf = 4, 2, 128, 16, 2
+    norm_h = jnp.asarray(rng.standard_normal((f_total, s, d)), jnp.float32)
+    pivot_h = jnp.asarray(rng.standard_normal((kf, s, d)), jnp.float32)
+    kf_attn = jnp.asarray(rng.standard_normal((3, kf, s, d)), jnp.float32)
+    pa, pb, w1 = (jnp.asarray(a) for a in propagation_indices(f_total, ws))
+
+    import os
+
+    os.environ["TOKENFLOW_PALLAS"] = "0"
+    try:
+        ref = token_propagation(norm_h, pivot_h, kf_attn, pa, pb, w1)
+    finally:
+        del os.environ["TOKENFLOW_PALLAS"]
+
+    p32 = pivot_h.astype(jnp.float32)
+    p_hat = p32 / (jnp.linalg.norm(p32, axis=-1, keepdims=True) + 1e-12)
+    out = token_match_gather_pallas(
+        norm_h, p_hat, kf_attn, pa, pb, w1, bq=64, interpret=True
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.tpu
 def test_flash_pallas_matches_sdp_tpu():
     b, h, d, sq, skv = 2, 5, 64, 1024, 4096
