@@ -24,6 +24,10 @@ import json
 import os
 import time
 
+# persistent compile cache: repeat benches skip the (minutes-long on the
+# remote-TPU tunnel) XLA compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

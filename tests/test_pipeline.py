@@ -156,3 +156,30 @@ def test_vanilla_sample_loop_runs(tiny):
     )
     assert out.shape == x_init.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_edit_loop_deterministic(tiny):
+    """Same seed -> bitwise-identical outputs (the seed-1 reproducibility
+    contract, reference util.py:99-103 / config seed)."""
+    f, ws, steps = 4, 2, 2
+    (model, params, x_init, traj, embeds3, schedule, unet_apply) = _edit_setup(
+        tiny, f, ws, steps
+    )
+    kwargs = dict(
+        window_size=ws, guidance_scale=7.5, pnp=True,
+        rng=jax.random.PRNGKey(42),
+    )
+    a = pipeline.tokenflow_sample_loop(
+        unet_apply, params, x_init, traj, embeds3, schedule, **kwargs
+    )
+    b = pipeline.tokenflow_sample_loop(
+        unet_apply, params, x_init, traj, embeds3, schedule, **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # different seed -> different pivots -> different output
+    c = pipeline.tokenflow_sample_loop(
+        unet_apply, params, x_init, traj, embeds3, schedule,
+        window_size=ws, guidance_scale=7.5, pnp=True,
+        rng=jax.random.PRNGKey(43),
+    )
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
