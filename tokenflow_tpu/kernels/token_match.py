@@ -31,17 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    pa_ref, pb_ref,  # scalar-prefetch (F,) int32
+    pa_ref, pb_ref, w1_ref,  # scalar-prefetch: (F,) int32, int32, float32
     x_ref,  # (1, BQ, D)
     phat_a_ref,  # (1, S, D)
     phat_b_ref,  # (1, S, D)
     kf_a_ref,  # (1, 1, S, D)
     kf_b_ref,  # (1, 1, S, D)
-    w1_ref,  # (1, 1) SMEM float32
     out_ref,  # (1, 1, BQ, D)
     oh1_ref,  # scratch (BQ, S) input-dtype
     oh2_ref,
 ):
+    f = pl.program_id(0)
     c = pl.program_id(2)
 
     @pl.when(c == 0)
@@ -73,7 +73,7 @@ def _kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    w = w1_ref[0, 0]
+    w = w1_ref[f]
     out_ref[0, 0] = (w * g1 + (1.0 - w) * g2).astype(out_ref.dtype)
 
 
@@ -104,43 +104,38 @@ def token_match_gather_pallas(
     dtype = kf_attn.dtype
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(f_total, n_q, 3),
         in_specs=[
             pl.BlockSpec(
                 (1, bq, d),
-                lambda f, iq, c, pa_ref, pb_ref: (f, iq, 0),
+                lambda f, iq, c, pa_ref, pb_ref, w1_ref: (f, iq, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, s, d),
-                lambda f, iq, c, pa_ref, pb_ref: (pa_ref[f], 0, 0),
+                lambda f, iq, c, pa_ref, pb_ref, w1_ref: (pa_ref[f], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, s, d),
-                lambda f, iq, c, pa_ref, pb_ref: (pb_ref[f], 0, 0),
+                lambda f, iq, c, pa_ref, pb_ref, w1_ref: (pb_ref[f], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, s, d),
-                lambda f, iq, c, pa_ref, pb_ref: (c, pa_ref[f], 0, 0),
+                lambda f, iq, c, pa_ref, pb_ref, w1_ref: (c, pa_ref[f], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, s, d),
-                lambda f, iq, c, pa_ref, pb_ref: (c, pb_ref[f], 0, 0),
+                lambda f, iq, c, pa_ref, pb_ref, w1_ref: (c, pb_ref[f], 0, 0),
                 memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1),
-                lambda f, iq, c, pa_ref, pb_ref: (f, 0),
-                memory_space=pltpu.SMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, bq, d),
-            lambda f, iq, c, pa_ref, pb_ref: (c, f, iq, 0),
+            lambda f, iq, c, pa_ref, pb_ref, w1_ref: (c, f, iq, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -164,11 +159,11 @@ def token_match_gather_pallas(
     )(
         pa.astype(jnp.int32),
         pb.astype(jnp.int32),
+        w1.astype(jnp.float32),
         norm_h_src,
         p_hat,
         p_hat,
         kf_attn,
         kf_attn,
-        w1.astype(jnp.float32).reshape(f_total, 1),
     )
     return out
