@@ -197,6 +197,106 @@ def main():
         except Exception as e:
             log("  pallas token-match failed:", repr(e)[:300])
 
+    # ---- 5. (optional) BASELINE config-5 scale checks: 768p and 120 frames
+    if os.environ.get("PROBE_LARGE", "0") == "1":
+        # 768p latent = 96x96 -> top-site seq 9216; token-match at the
+        # 768p top site and flash over the 5-keyframe extended KV
+        F5, ws5 = 24, 8
+        K5 = F5 // ws5
+        pa5, pb5, w15 = (
+            jnp.asarray(a) for a in propagation_indices(F5, ws5)
+        )
+        s5, d5 = 9216, 320
+        xh = r((F5, s5, d5))
+        ph = r((K5, s5, d5))
+        kf5 = r((3, K5, s5, d5))
+
+        def norm(p):
+            p32 = p.astype(jnp.float32)
+            return (
+                p32 / (jnp.linalg.norm(p32, axis=-1, keepdims=True) + 1e-12)
+            ).astype(p.dtype)
+
+        os.environ["TOKENFLOW_PALLAS"] = "0"  # force the jnp reference path
+        jn_tm = jax.jit(
+            lambda xh, ph, kf: token_propagation(xh, ph, kf, pa5, pb5, w15)
+        )
+        pk_tm = jax.jit(
+            lambda xh, ph, kf: token_match_gather_pallas(
+                xh, norm(ph), kf, pa5, pb5, w15
+            )
+        )
+        try:
+            timed("jnp token-match 768p compile+run", jn_tm, xh, ph, kf5)
+            timed("jnp token-match 768p steady", jn_tm, xh, ph, kf5)
+        except Exception as e:
+            log("  jnp token-match 768p failed:", repr(e)[:200])
+        del os.environ["TOKENFLOW_PALLAS"]
+        try:
+            timed("pallas token-match 768p compile+run", pk_tm, xh, ph, kf5)
+            timed("pallas token-match 768p steady", pk_tm, xh, ph, kf5)
+            err = float(
+                jnp.mean(
+                    jnp.abs(
+                        pk_tm(xh, ph, kf5).astype(jnp.float32)
+                        - jn_tm(xh, ph, kf5).astype(jnp.float32)
+                    )
+                )
+            )
+            log(f"  768p pallas-vs-jnp mean abs err: {err:.5f}")
+        except Exception as e:
+            log("  pallas token-match 768p failed:", repr(e)[:300])
+
+        # flash attention at 768p extended shapes: KV = 3 kf * 9216
+        q = r((2, 3 * s5, 5, 64))
+        kv = r((2, 3 * s5, 5, 64))
+        pk = jax.jit(lambda q, k, v: flash_attention_pallas(q, k, v))
+        try:
+            timed("pallas flash 768p-ext compile+run", pk, q, kv, kv)
+            timed("pallas flash 768p-ext steady", pk, q, kv, kv)
+        except Exception as e:
+            log("  pallas flash 768p failed:", repr(e)[:200])
+
+        # 120-frame propagation-pass UNet (3x120 streams at 512p)
+        x120 = r((3 * 120, hw, hw, 4))
+        e120 = r((3 * 120, 77, ctx_dim))
+        pa120, pb120, w120 = (
+            jnp.asarray(a) for a in propagation_indices(120, 8)
+        )
+        log("  (120-frame propagate needs a 15-pivot cache; running pivotal first)")
+        x_piv15 = r((3 * 15, hw, hw, 4))
+        e_piv15 = r((3 * 15, 77, ctx_dim))
+
+        @jax.jit
+        def pivotal15(params, s, e):
+            edit = editctx.UNetEdit(
+                mode=editctx.EditMode.PIVOTAL, n_frames=15, pnp=True,
+                qk_gate=jnp.asarray(True), conv_gate=jnp.asarray(True),
+            )
+            return stack.unet_apply(params, s, t, e, edit)
+
+        try:
+            (_, cache15), _ = timed(
+                "pivotal 15-kf compile+run", pivotal15, stack.unet_params,
+                x_piv15, e_piv15,
+            )
+
+            @jax.jit
+            def propagate120(params, s, e, cache):
+                edit = editctx.UNetEdit(
+                    mode=editctx.EditMode.PROPAGATE, n_frames=120, pnp=True,
+                    qk_gate=jnp.asarray(False), conv_gate=jnp.asarray(True),
+                    cache=cache, prop_pa=pa120, prop_pb=pb120, prop_w1=w120,
+                )
+                return stack.unet_apply(params, s, t, e, edit)
+
+            timed("propagate 120f compile+run", propagate120,
+                  stack.unet_params, x120, e120, cache15)
+            timed("propagate 120f steady", propagate120,
+                  stack.unet_params, x120, e120, cache15)
+        except Exception as e:
+            log("  120-frame propagate failed:", repr(e)[:300])
+
     log("PROBE DONE")
 
 
