@@ -47,10 +47,17 @@ def main():
     chunk = int(chunk_env) if chunk_env else None
     dtype = jnp.float32 if tiny else jnp.bfloat16
 
+    import sys
+
+    def progress(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
+
+    progress(f"loading stack (tiny={tiny})")
     stack = runtime.load_stack(
         "tiny" if tiny else "2.1", init="random", dtype=dtype,
         param_dtype=dtype,
     )
+    progress("stack loaded")
     ctx_dim = stack.unet.config.cross_attention_dim
 
     sched = ddim.make_schedule(steps)
@@ -106,11 +113,13 @@ def main():
         os.environ["TOKENFLOW_PALLAS"] = pm
         for c in chunks_to_try:
             try:
+                progress(f"running: pallas={pm} propagate_chunk={c}")
                 t_first, t_steady = run_with_chunk(c)
                 chunk_used = c
                 done = True
                 break
             except Exception as e:  # OOM / kernel failure fallback
+                progress(f"failed ({type(e).__name__}); falling back")
                 last_err = e
         if done:
             break
