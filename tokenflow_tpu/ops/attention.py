@@ -19,10 +19,19 @@ import jax
 import jax.numpy as jnp
 
 
-def use_pallas() -> bool:
-    """Kernel dispatch switch. TOKENFLOW_PALLAS=1 forces the Pallas
-    kernels, =0 forces the jnp paths; 'auto' (default) enables them on TPU
-    backends."""
+def use_pallas(kind: str = "flash") -> bool:
+    """Kernel dispatch switch.
+
+    Master switch TOKENFLOW_PALLAS: 1 forces on, 0 forces off, 'auto'
+    (default) enables on TPU backends. Per-kernel overrides
+    TOKENFLOW_PALLAS_FLASH / TOKENFLOW_PALLAS_MATCH (1/0) take precedence
+    for their op (used to isolate kernel faults).
+    """
+    per = os.environ.get(f"TOKENFLOW_PALLAS_{kind.upper()}")
+    if per == "1":
+        return True
+    if per == "0":
+        return False
     env = os.environ.get("TOKENFLOW_PALLAS", "auto")
     if env == "1":
         return True
@@ -94,7 +103,7 @@ def flash_attention(
     if skv <= kv_block:
         return sdp_attention(q, k, v, scale=scale)
 
-    if use_pallas() and d % 8 == 0 and q.dtype in (
+    if use_pallas("flash") and d % 8 == 0 and q.dtype in (
         jnp.bfloat16,
         jnp.float32,
     ):

@@ -118,7 +118,7 @@ def token_propagation(
 
     from tokenflow_tpu.ops.attention import use_pallas
 
-    if use_pallas() and s % 128 == 0 and d % 8 == 0:
+    if use_pallas("match") and s % 128 == 0 and d % 8 == 0:
         from tokenflow_tpu.kernels.token_match import (
             fits_vmem,
             token_match_gather_pallas,
