@@ -15,25 +15,34 @@ Prints ONE JSON line:
                => 0.667 frames/s end-to-end; the reference itself
                publishes no numbers, BASELINE.md).
 
+Robustness: a faulty Pallas kernel can crash the TPU worker and take the
+whole process down, so the parent orchestrates measurement variants
+(kernels on -> jnp fallback) as SUBPROCESSES and reports the first
+success. BENCH_WORKER=1 selects the in-process measurement role.
+
 Env knobs: BENCH_FRAMES, BENCH_STEPS, BENCH_LATENT (latent hw),
 BENCH_WINDOW, BENCH_CHUNK (propagation chunk), BENCH_TINY=1 (tiny stack
-for CPU smoke).
+for CPU smoke), TOKENFLOW_PALLAS[_FLASH|_MATCH] (kernel dispatch).
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
-# persistent compile cache: repeat benches skip the (minutes-long on the
-# remote-TPU tunnel) XLA compile
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+
+def progress(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def main():
+def worker():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from tokenflow_tpu import runtime
     from tokenflow_tpu.diffusion import ddim
     from tokenflow_tpu.editing import pipeline
@@ -47,17 +56,11 @@ def main():
     chunk = int(chunk_env) if chunk_env else None
     dtype = jnp.float32 if tiny else jnp.bfloat16
 
-    import sys
-
-    def progress(msg):
-        print(f"# {msg}", file=sys.stderr, flush=True)
-
-    progress(f"loading stack (tiny={tiny})")
+    progress(f"worker: loading stack (tiny={tiny})")
     stack = runtime.load_stack(
         "tiny" if tiny else "2.1", init="random", dtype=dtype,
         param_dtype=dtype,
     )
-    progress("stack loaded")
     ctx_dim = stack.unet.config.cross_attention_dim
 
     sched = ddim.make_schedule(steps)
@@ -67,64 +70,35 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    x_init = jnp.asarray(
-        rng.standard_normal((f_total, hw, hw, 4)), dtype
-    )
+    x_init = jnp.asarray(rng.standard_normal((f_total, hw, hw, 4)), dtype)
     traj = jnp.asarray(
         rng.standard_normal((steps, f_total, hw, hw, 4)), dtype
     )
-    embeds3 = jnp.asarray(
-        rng.standard_normal((3, 77, ctx_dim)), dtype
-    )
+    embeds3 = jnp.asarray(rng.standard_normal((3, 77, ctx_dim)), dtype)
 
-    def run_with_chunk(propagate_chunk):
-        def loop_fn(params, x0, tr, e3, key):
-            return pipeline.tokenflow_sample_loop(
-                stack.unet_apply, params, x0, tr, e3, schedule,
-                window_size=window, guidance_scale=7.5, pnp=True,
-                rng=key, propagate_chunk=propagate_chunk,
-            )
+    def loop_fn(params, x0, tr, e3, key):
+        return pipeline.tokenflow_sample_loop(
+            stack.unet_apply, params, x0, tr, e3, schedule,
+            window_size=window, guidance_scale=7.5, pnp=True,
+            rng=key, propagate_chunk=chunk,
+        )
 
-        loop = jax.jit(loop_fn)
-        key = jax.random.PRNGKey(0)
+    loop = jax.jit(loop_fn)
+    key = jax.random.PRNGKey(0)
 
-        def sync(o):
-            # block_until_ready is a no-op under the axon TPU relay; force
-            # completion by pulling a device-computed scalar to the host.
-            return float(jnp.sum(o.astype(jnp.float32)))
+    def sync(o):
+        # block_until_ready is a no-op under the axon TPU relay; force
+        # completion by pulling a device-computed scalar to the host.
+        return float(jnp.sum(o.astype(jnp.float32)))
 
-        t0 = time.perf_counter()
-        sync(loop(stack.unet_params, x_init, traj, embeds3, key))
-        t_compile_and_run = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        sync(loop(stack.unet_params, x_init, traj, embeds3, key))
-        t_steady = time.perf_counter() - t0
-        return t_compile_and_run, t_steady
-
-    chunks_to_try = [chunk] if chunk is not None else [None, window]
-    pallas_modes = (
-        [os.environ["TOKENFLOW_PALLAS"]]
-        if "TOKENFLOW_PALLAS" in os.environ
-        else ["auto", "0"]  # fall back to jnp paths if a kernel fails
-    )
-    last_err = None
-    done = False
-    for pm in pallas_modes:
-        os.environ["TOKENFLOW_PALLAS"] = pm
-        for c in chunks_to_try:
-            try:
-                progress(f"running: pallas={pm} propagate_chunk={c}")
-                t_first, t_steady = run_with_chunk(c)
-                chunk_used = c
-                done = True
-                break
-            except Exception as e:  # OOM / kernel failure fallback
-                progress(f"failed ({type(e).__name__}); falling back")
-                last_err = e
-        if done:
-            break
-    if not done:
-        raise last_err
+    progress("worker: compiling + first run")
+    t0 = time.perf_counter()
+    sync(loop(stack.unet_params, x_init, traj, embeds3, key))
+    t_first = time.perf_counter() - t0
+    progress(f"worker: first call {t_first:.1f}s; steady run")
+    t0 = time.perf_counter()
+    sync(loop(stack.unet_params, x_init, traj, embeds3, key))
+    t_steady = time.perf_counter() - t0
 
     fps = f_total / t_steady
     result = {
@@ -137,8 +111,15 @@ def main():
             "steps": steps,
             "latent_hw": hw,
             "window": window,
-            "propagate_chunk": chunk_used,
-            "pallas": os.environ.get("TOKENFLOW_PALLAS", "auto"),
+            "propagate_chunk": chunk,
+            "pallas": {
+                k: os.environ.get(k, "auto")
+                for k in (
+                    "TOKENFLOW_PALLAS",
+                    "TOKENFLOW_PALLAS_FLASH",
+                    "TOKENFLOW_PALLAS_MATCH",
+                )
+            },
             "edit_loop_seconds": round(t_steady, 2),
             "first_call_seconds": round(t_first, 2),
             "device": str(jax.devices()[0]),
@@ -146,7 +127,54 @@ def main():
             "tiny": tiny,
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+VARIANTS = [
+    # (label, extra env) — first success wins
+    ("kernels-auto", {}),
+    ("flash-only", {"TOKENFLOW_PALLAS_MATCH": "0"}),
+    ("jnp", {"TOKENFLOW_PALLAS": "0"}),
+    ("jnp-chunked", {"TOKENFLOW_PALLAS": "0", "BENCH_CHUNK": "8"}),
+]
+
+
+def main():
+    if os.environ.get("BENCH_WORKER") == "1":
+        worker()
+        return
+    timeout = int(os.environ.get("BENCH_TIMEOUT", "2700"))
+    for label, extra in VARIANTS:
+        env = dict(os.environ, BENCH_WORKER="1", **extra)
+        progress(f"variant {label}: launching worker")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            progress(f"variant {label}: timeout")
+            continue
+        for line in proc.stderr.splitlines():
+            progress(f"[{label}] {line}")
+        out = [
+            ln
+            for ln in proc.stdout.splitlines()
+            if ln.startswith("{")
+        ]
+        if proc.returncode == 0 and out:
+            result = json.loads(out[-1])
+            result["details"]["variant"] = label
+            print(json.dumps(result))
+            return
+        progress(
+            f"variant {label}: failed rc={proc.returncode}; "
+            f"stderr tail: {proc.stderr[-300:]}"
+        )
+    raise SystemExit("all bench variants failed")
 
 
 if __name__ == "__main__":
