@@ -77,14 +77,15 @@ def _kernel(
     out_ref[0, 0] = (w * g1 + (1.0 - w) * g2).astype(out_ref.dtype)
 
 
-def fits_vmem(s: int, d: int, bq: int = 128, budget: int = 36 << 20) -> bool:
-    # hardware-verified: S=4096,D=320 (≈15MB by this model) compiles and
-    # outperforms the jnp path on v5e; budget raised accordingly, with the
-    # 768p top site (S=9216 ≈ 33MB) still to be validated
-    tables = 4 * s * d * 2  # phat_a/b + kf_a/b, bf16
+def fits_vmem(s: int, d: int, bq: int = 128, budget: int = 100 << 20) -> bool:
+    """VMEM model vs the raised vmem_limit_bytes below (v5e physical VMEM
+    is 128MB; the default scoped limit of 16MB rejects the 512p top site
+    by 268KB — observed on hardware). Input tables count double for
+    pipeline double-buffering."""
+    tables = 2 * 4 * s * d * 2  # phat_a/b + kf_a/b, bf16, double-buffered
     oh = 2 * bq * s * 2
     sim = bq * s * 4
-    x_out = 2 * bq * d * 4
+    x_out = 2 * (2 * bq * d * 4)
     return tables + oh + sim + x_out < budget
 
 
@@ -151,6 +152,9 @@ def token_match_gather_pallas(
         _kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, f_total, s, d), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=8 * f_total * s * s * d,
             bytes_accessed=(
