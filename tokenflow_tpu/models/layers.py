@@ -33,6 +33,20 @@ from tokenflow_tpu.ops.extended_attention import (
 from tokenflow_tpu.ops.propagation import token_propagation
 
 
+def norm_dtype():
+    """Normalization compute dtype. fp32 by default for stability; set
+    TOKENFLOW_NORM_DTYPE=bf16 to run GroupNorm/LayerNorm in bf16 (the
+    reference's fp16 autocast runs its norms in half precision, so this is
+    a parity-safe perf knob; resolved at trace time)."""
+    import os
+
+    return (
+        jnp.bfloat16
+        if os.environ.get("TOKENFLOW_NORM_DTYPE", "f32") == "bf16"
+        else jnp.float32
+    )
+
+
 def timestep_embedding(
     timesteps: jax.Array,
     dim: int,
@@ -151,7 +165,7 @@ class BasicTransformerBlock(nn.Module):
 
     def setup(self):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        ln = dict(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype)
+        ln = dict(epsilon=1e-5, dtype=norm_dtype(), param_dtype=self.param_dtype)
         self.norm1 = nn.LayerNorm(name="norm1", **ln)
         self.attn1 = Attention(
             heads=self.heads, dim_head=self.dim_head, out_dim=self.dim,
@@ -242,7 +256,7 @@ class Transformer2DModel(nn.Module):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         residual = x
         h = nn.GroupNorm(
-            num_groups=32, epsilon=1e-6, dtype=jnp.float32,
+            num_groups=32, epsilon=1e-6, dtype=norm_dtype(),
             param_dtype=self.param_dtype, name="norm",
         )(x).astype(self.dtype)
         if self.use_linear_projection:
@@ -286,7 +300,7 @@ class ResnetBlock2D(nn.Module):
     ):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         gn = dict(
-            num_groups=self.groups, epsilon=self.eps, dtype=jnp.float32,
+            num_groups=self.groups, epsilon=self.eps, dtype=norm_dtype(),
             param_dtype=self.param_dtype,
         )
         h = nn.silu(nn.GroupNorm(name="norm1", **gn)(x)).astype(self.dtype)

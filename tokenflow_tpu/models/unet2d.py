@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tokenflow_tpu.models.layers import (
+    norm_dtype,
     Downsample2D,
     ResnetBlock2D,
     TimestepEmbedding,
@@ -200,7 +201,7 @@ class UNet2DConditionModel(nn.Module):
                 h = Upsample2D(rev[i], name=f"up_{i}_upsample", **common)(h)
 
         h = nn.GroupNorm(
-            num_groups=32, epsilon=cfg.norm_eps, dtype=jnp.float32,
+            num_groups=32, epsilon=cfg.norm_eps, dtype=norm_dtype(),
             param_dtype=self.param_dtype, name="conv_norm_out",
         )(h)
         h = nn.silu(h).astype(self.dtype)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tokenflow_tpu.models.layers import (
+    norm_dtype,
     Downsample2D,
     ResnetBlock2D,
     Upsample2D,
@@ -60,7 +61,7 @@ class VAEAttention(nn.Module):
         b, hh, ww, c = x.shape
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         h = nn.GroupNorm(
-            num_groups=self.groups, epsilon=self.eps, dtype=jnp.float32,
+            num_groups=self.groups, epsilon=self.eps, dtype=norm_dtype(),
             param_dtype=self.param_dtype, name="group_norm",
         )(x).astype(self.dtype)
         h = h.reshape(b, hh * ww, c)
@@ -112,7 +113,7 @@ class Encoder(nn.Module):
         h = resnet(ch, "mid_res_1")(h)
         h = nn.GroupNorm(
             num_groups=cfg.norm_groups, epsilon=cfg.norm_eps,
-            dtype=jnp.float32, param_dtype=self.param_dtype,
+            dtype=norm_dtype(), param_dtype=self.param_dtype,
             name="conv_norm_out",
         )(h)
         h = nn.silu(h).astype(self.dtype)
@@ -155,7 +156,7 @@ class Decoder(nn.Module):
                 h = Upsample2D(ch, name=f"up_{i}_upsample", **common)(h)
         h = nn.GroupNorm(
             num_groups=cfg.norm_groups, epsilon=cfg.norm_eps,
-            dtype=jnp.float32, param_dtype=self.param_dtype,
+            dtype=norm_dtype(), param_dtype=self.param_dtype,
             name="conv_norm_out",
         )(h)
         h = nn.silu(h).astype(self.dtype)
