@@ -100,6 +100,37 @@ def worker():
     sync(loop(stack.unet_params, x_init, traj, embeds3, key))
     t_steady = time.perf_counter() - t0
 
+    inv_details = {}
+    if os.environ.get("BENCH_INVERSION", "0") == "1":
+        # conditional-only inversion throughput (the reference's other hot
+        # loop — preprocess.py:198-230); measured at a reduced step count
+        # and scaled, since the loop is per-step homogeneous
+        from tokenflow_tpu.diffusion import inversion as inversion_lib
+
+        inv_steps = int(os.environ.get("BENCH_INVERSION_STEPS", "10"))
+        inv_sched = ddim.make_schedule(inv_steps)
+        cond = embeds3[2:3]
+
+        def eps_fn(x, t):
+            ctx = jnp.broadcast_to(cond, (x.shape[0], *cond.shape[1:]))
+            return stack.unet_apply(stack.unet_params, x, t, ctx, None)[0]
+
+        inv = jax.jit(
+            lambda x: inversion_lib.ddim_inversion(
+                eps_fn, x, inv_sched, inv_steps
+            )[0]
+        )
+        progress("worker: inversion compile + run")
+        sync(inv(x_init))
+        t0 = time.perf_counter()
+        sync(inv(x_init))
+        t_inv = time.perf_counter() - t0
+        inv_details = {
+            "inversion_steps_measured": inv_steps,
+            "inversion_sec_per_step": round(t_inv / inv_steps, 4),
+            "inversion_500step_est_sec": round(500 * t_inv / inv_steps, 1),
+        }
+
     fps = f_total / t_steady
     result = {
         "metric": "edited_frames_per_sec_512p",
@@ -125,6 +156,7 @@ def worker():
             "device": str(jax.devices()[0]),
             "dtype": "bf16" if not tiny else "f32",
             "tiny": tiny,
+            **inv_details,
         },
     }
     print(json.dumps(result), flush=True)
