@@ -76,11 +76,13 @@ def worker():
     )
     embeds3 = jnp.asarray(rng.standard_normal((3, 77, ctx_dim)), dtype)
 
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+
     def loop_fn(params, x0, tr, e3, key):
         return pipeline.tokenflow_sample_loop(
             stack.unet_apply, params, x0, tr, e3, schedule,
             window_size=window, guidance_scale=7.5, pnp=True,
-            rng=key, propagate_chunk=chunk,
+            rng=key, propagate_chunk=chunk, fused=fused,
         )
 
     loop = jax.jit(loop_fn)
@@ -143,6 +145,7 @@ def worker():
             "latent_hw": hw,
             "window": window,
             "propagate_chunk": chunk,
+            "fused": fused,
             "pallas": {
                 k: os.environ.get(k, "auto")
                 for k in (
@@ -164,10 +167,11 @@ def worker():
 
 VARIANTS = [
     # (label, extra env) — first success wins
-    ("kernels-auto", {}),
-    ("flash-only", {"TOKENFLOW_PALLAS_MATCH": "0"}),
-    ("jnp", {"TOKENFLOW_PALLAS": "0"}),
-    ("jnp-chunked", {"TOKENFLOW_PALLAS": "0", "BENCH_CHUNK": "8"}),
+    ("fused-kernels", {}),
+    ("two-pass-kernels", {"BENCH_FUSED": "0"}),
+    ("flash-only", {"BENCH_FUSED": "0", "TOKENFLOW_PALLAS_MATCH": "0"}),
+    ("jnp", {"BENCH_FUSED": "0", "TOKENFLOW_PALLAS": "0"}),
+    ("jnp-chunked", {"BENCH_FUSED": "0", "TOKENFLOW_PALLAS": "0", "BENCH_CHUNK": "8"}),
 ]
 
 

@@ -61,10 +61,13 @@ def main():
         jnp.bfloat16,
     )
 
+    fused = os.environ.get("VS_FUSED", "0") == "1"
+
     def loop_fn(params, x0, tr, e3, key):
         return pipeline.tokenflow_sample_loop(
             stack.unet_apply, params, x0, tr, e3, schedule,
             window_size=window, guidance_scale=7.5, pnp=True, rng=key,
+            fused=fused,
         )
 
     loop = jax.jit(loop_fn)

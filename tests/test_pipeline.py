@@ -183,3 +183,26 @@ def test_edit_loop_deterministic(tiny):
         rng=jax.random.PRNGKey(43),
     )
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_fused_step_matches_two_pass(tiny):
+    """EditMode.FUSED (single-pass pivotal+propagation) must reproduce the
+    two-pass loop exactly — same pivots (same rng), same math."""
+    f, ws, steps = 4, 2, 2
+    (model, params, x_init, traj, embeds3, schedule, unet_apply) = _edit_setup(
+        tiny, f, ws, steps
+    )
+    kwargs = dict(
+        window_size=ws, guidance_scale=7.5, pnp=True,
+        rng=jax.random.PRNGKey(5),
+    )
+    two_pass = pipeline.tokenflow_sample_loop(
+        unet_apply, params, x_init, traj, embeds3, schedule, **kwargs
+    )
+    fused = pipeline.tokenflow_sample_loop(
+        unet_apply, params, x_init, traj, embeds3, schedule,
+        fused=True, **kwargs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(two_pass), np.asarray(fused), rtol=2e-4, atol=2e-5
+    )

@@ -120,6 +120,7 @@ def tokenflow_sample_loop(
     propagate_chunk: Optional[int] = None,  # frames, multiple of window_size
     controlnet_fn: Optional[Callable] = None,  # (sample,t,ctx,cond)->(down,mid)
     cond_image: Optional[jax.Array] = None,  # (F, H, W, 3) for controlnet_fn
+    fused: bool = False,  # single-pass pivotal+propagation (EditMode.FUSED)
 ) -> jax.Array:
     """Run the full TokenFlow edit; returns denoised latents (F, h, w, 4)."""
     f_total = x_init.shape[0]
@@ -128,6 +129,10 @@ def tokenflow_sample_loop(
     chunk = propagate_chunk or f_total
     assert chunk % window_size == 0 and f_total % chunk == 0
     n_chunks = f_total // chunk
+    if fused and (n_chunks != 1 or controlnet_fn is not None):
+        # fusion assumes one full-batch propagation segment; chunked or
+        # ControlNet-conditioned runs use the two-pass form
+        fused = False
 
     pa, pb, w1 = (jnp.asarray(a) for a in propagation_indices(f_total, window_size))
     window_offsets = jnp.arange(n_windows) * window_size
@@ -142,6 +147,7 @@ def tokenflow_sample_loop(
 
     embeds_piv = _stream_embeds(embeds3, n_windows)
     embeds_prop = _stream_embeds(embeds3, chunk)
+    embeds_fused = _stream_embeds(embeds3, n_windows + f_total)
 
     def residual_kwargs(sample, t, embeds, cond):
         """ControlNet residuals for a 3-stream pass (cond replicated per
@@ -154,6 +160,52 @@ def tokenflow_sample_loop(
         return dict(
             down_block_residuals=down, mid_block_residual=mid
         )
+
+    def fused_step_fn(x, xs):
+        a_t, a_prev, t, slot, qk_g, conv_g, key = xs
+        src = src_traj[slot]
+        piv = (
+            jax.random.randint(key, (n_windows,), 0, window_size)
+            + window_offsets
+        )
+
+        def seg(stream_piv, stream_all, d_piv, d_all):
+            return jnp.concatenate(
+                [
+                    _with_depth(stream_piv, d_piv),
+                    _with_depth(stream_all, d_all),
+                ],
+                axis=0,
+            )
+
+        d_piv = None if depth is None else depth[piv]
+        sample = jnp.concatenate(
+            [
+                seg(src[piv], src, d_piv, depth),
+                seg(x[piv], x, d_piv, depth),
+                seg(x[piv], x, d_piv, depth),
+            ],
+            axis=0,
+        )
+        edit = editctx.UNetEdit(
+            mode=editctx.EditMode.FUSED,
+            n_frames=f_total,
+            n_pivots=n_windows,
+            pnp=pnp,
+            qk_gate=qk_g,
+            conv_gate=conv_g,
+            prop_pa=pa,
+            prop_pb=pb,
+            prop_w1=w1,
+        )
+        eps_all, _ = unet_apply(params, sample, t, embeds_fused, edit)
+        eps3 = eps_all.reshape(
+            3, n_windows + f_total, *eps_all.shape[1:]
+        )[:, n_windows:]
+        eps = ddim.classifier_free_guidance(
+            eps3[1], eps3[2], guidance_scale
+        )
+        return ddim.ddim_step(x, eps, a_t, a_prev).astype(x.dtype), None
 
     def step_fn(x, xs):
         a_t, a_prev, t, slot, qk_g, conv_g, key = xs
@@ -259,7 +311,9 @@ def tokenflow_sample_loop(
         jnp.asarray(schedule.conv_gate),
         step_keys,
     )
-    x_out, _ = jax.lax.scan(step_fn, x_init, xs)
+    x_out, _ = jax.lax.scan(
+        fused_step_fn if fused else step_fn, x_init, xs
+    )
     return x_out
 
 

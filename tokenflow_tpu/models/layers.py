@@ -220,6 +220,30 @@ class BasicTransformerBlock(nn.Module):
                 edit.prop_w1,
             )
             attn_out = o3.reshape(b, s, dim).astype(self.dtype)
+        elif mode == editctx.EditMode.FUSED:
+            # per stream: [K pivots | F frames]; pivots run extended
+            # attention producing this site's cache, frames propagate
+            # from it — one batch, same math as the two-pass form
+            kf, f = edit.n_pivots, edit.n_frames
+            h3 = h_norm.reshape(3, kf + f, s, dim)
+            hp, hq = h3[:, :kf], h3[:, kf:]
+            q, k, v = self.attn1.qkv(hp.reshape(3 * kf, s, dim))
+            q3, k3, v3 = (p.reshape(3, kf, s, -1) for p in (q, k, v))
+            if edit.qk_inject_site:
+                q3, k3 = inject_source_qk(q3, k3, edit.qk_gate)
+            op = extended_attention(
+                q3, k3, v3, heads=self.heads, kv_block=self.kv_block
+            )
+            kf_attn = self.attn1.out(op.reshape(3 * kf, s, -1)).reshape(
+                3, kf, s, dim
+            )
+            oq = token_propagation(
+                hq[0], hp[0], kf_attn,
+                edit.prop_pa, edit.prop_pb, edit.prop_w1,
+            ).astype(self.dtype)
+            attn_out = jnp.concatenate([kf_attn, oq], axis=1).reshape(
+                b, s, dim
+            )
         else:
             raise ValueError(f"unknown edit mode {mode!r}")
 

@@ -22,6 +22,13 @@ class EditMode:
     NONE = "none"  # plain UNet (preprocess / vanilla sampling)
     PIVOTAL = "pivotal"  # keyframe pass: extended attn, fills the cache
     PROPAGATE = "propagate"  # propagation pass: NN-gather from the cache
+    # single-pass fusion of the two: per stream the batch is
+    # [K pivots | F frames]; at each block the pivot segment runs extended
+    # attention producing the site cache, which the frame segment's NN
+    # propagation consumes immediately. Math-identical to PIVOTAL followed
+    # by PROPAGATE (the reference's two passes, run_tokenflow_pnp.py:226-232)
+    # but one UNet traversal with a full-size batch.
+    FUSED = "fused"
 
 
 @struct.dataclass
@@ -35,6 +42,7 @@ class BlockEdit:
     # -- static
     mode: str = struct.field(pytree_node=False, default=EditMode.NONE)
     n_frames: int = struct.field(pytree_node=False, default=1)
+    n_pivots: int = struct.field(pytree_node=False, default=0)  # FUSED mode
     qk_inject_site: bool = struct.field(pytree_node=False, default=False)
     # -- dynamic
     qk_gate: Optional[jax.Array] = None  # scalar bool: t in PnP qk schedule
@@ -68,6 +76,7 @@ class UNetEdit:
 
     mode: str = struct.field(pytree_node=False, default=EditMode.NONE)
     n_frames: int = struct.field(pytree_node=False, default=1)
+    n_pivots: int = struct.field(pytree_node=False, default=0)
     pnp: bool = struct.field(pytree_node=False, default=False)
     qk_gate: Optional[jax.Array] = None
     conv_gate: Optional[jax.Array] = None
@@ -81,6 +90,7 @@ class UNetEdit:
         return BlockEdit(
             mode=self.mode,
             n_frames=self.n_frames,
+            n_pivots=self.n_pivots,
             qk_inject_site=self.pnp and site in QK_INJECT_SITES,
             qk_gate=self.qk_gate,
             pivot_h=None if entry is None else entry["pivot_h"],
@@ -93,7 +103,10 @@ class UNetEdit:
     def for_conv(self, site: str) -> Optional[ConvEdit]:
         if not self.pnp or site != CONV_INJECT_SITE:
             return None
-        return ConvEdit(n_frames=self.n_frames, gate=self.conv_gate)
+        # FUSED batches are [K pivots | F frames] per stream
+        return ConvEdit(
+            n_frames=self.n_frames + self.n_pivots, gate=self.conv_gate
+        )
 
 
 # PnP q/k injection runs on decoder attention blocks 4-11 only
