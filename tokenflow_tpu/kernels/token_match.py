@@ -78,11 +78,22 @@ def _kernel(
 
 
 def fits_vmem(s: int, d: int, bq: int = 128, budget: int = 100 << 20) -> bool:
-    """VMEM model vs the raised vmem_limit_bytes below (v5e physical VMEM
-    is 128MB; the default scoped limit of 16MB rejects the 512p top site
-    by 268KB — observed on hardware). Input tables count double for
-    pipeline double-buffering."""
-    tables = 2 * 4 * s * d * 2  # phat_a/b + kf_a/b, bf16, double-buffered
+    """Dispatch predicate: VMEM feasibility AND profitability.
+
+    VMEM model vs the raised vmem_limit_bytes below (v5e physical VMEM is
+    128MB; the default scoped limit of 16MB rejects the 512p top site by
+    268KB — observed on hardware). Input tables count double for pipeline
+    double-buffering.
+
+    Profitability: the kernel re-fetches the kf tables on every stream
+    grid step, so DMA grows with table size; measured on v5e it wins up to
+    the 512p top site (table 2.6MB) and loses at 768p (5.9MB) — hence the
+    4MB table cap until the two-kernel (match/gather-split) variant lands.
+    """
+    table = s * d * 2  # one bf16 pivot/kf table
+    if table > (4 << 20):
+        return False
+    tables = 2 * 4 * table  # phat_a/b + kf_a/b, double-buffered
     oh = 2 * bq * s * 2
     sim = bq * s * 4
     x_out = 2 * (2 * bq * d * 4)
