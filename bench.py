@@ -76,7 +76,10 @@ def worker():
     )
     embeds3 = jnp.asarray(rng.standard_normal((3, 77, ctx_dim)), dtype)
 
-    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    # measured on v5e: two-pass 1.134 s/step vs fused 1.163 — the per-block
+    # segment concat/split overhead outweighs the batching win, so
+    # two-pass is the default (fused stays available via BENCH_FUSED=1)
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
 
     def loop_fn(params, x0, tr, e3, key):
         return pipeline.tokenflow_sample_loop(
@@ -167,11 +170,10 @@ def worker():
 
 VARIANTS = [
     # (label, extra env) — first success wins
-    ("fused-kernels", {}),
-    ("two-pass-kernels", {"BENCH_FUSED": "0"}),
-    ("flash-only", {"BENCH_FUSED": "0", "TOKENFLOW_PALLAS_MATCH": "0"}),
-    ("jnp", {"BENCH_FUSED": "0", "TOKENFLOW_PALLAS": "0"}),
-    ("jnp-chunked", {"BENCH_FUSED": "0", "TOKENFLOW_PALLAS": "0", "BENCH_CHUNK": "8"}),
+    ("two-pass-kernels", {}),
+    ("flash-only", {"TOKENFLOW_PALLAS_MATCH": "0"}),
+    ("jnp", {"TOKENFLOW_PALLAS": "0"}),
+    ("jnp-chunked", {"TOKENFLOW_PALLAS": "0", "BENCH_CHUNK": "8"}),
 ]
 
 
