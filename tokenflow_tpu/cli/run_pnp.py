@@ -67,6 +67,7 @@ def edit_video(config: dict) -> np.ndarray:
             rng=rng,
             depth=depth,
             propagate_chunk=config.get("propagate_chunk"),
+            fused=config.get("fused_step", False),
         )
 
     from tokenflow_tpu import profiling

@@ -89,6 +89,7 @@ def edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
             pnp=False,  # extended attention only, no injection
             rng=rng,
             propagate_chunk=config.get("propagate_chunk"),
+            fused=config.get("fused_step", False),
         )
 
     loop = jax.jit(loop_fn)
