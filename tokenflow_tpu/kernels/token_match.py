@@ -7,17 +7,25 @@ the (F, S, S) similarity tensor in HBM (the jnp fallback's transient, and
 the reference's actual materialized tensor, tokenflow_utils.py:335-343).
 
 Design notes (guide: /opt/skills/guides/pallas_guide.md):
-  - grid (F, Sq_blocks, 3 streams), stream innermost; the one-hot argmax
-    masks are computed once at stream 0 and persist in VMEM scratch;
+  - grid (F, Sq_blocks); each step computes the two one-hot argmax masks
+    once and gathers ALL THREE streams (kf tables enter as (3,1,S,D)
+    blocks), so the pivot/kf tables are DMA'd once per frame — the earlier
+    stream-innermost variant re-fetched them every grid step, which
+    dominated its runtime;
   - gathers are expressed as one-hot @ table matmuls — MXU-friendly and
     guaranteed to lower (no vector-gather dependence);
   - per-frame pivot tables are selected by scalar-prefetched (pa, pb)
-    driving the BlockSpec index maps;
-  - the similarity accumulates in fp32 on the MXU; inputs stay bf16.
+    driving the BlockSpec index maps; the blend weight w1 rides the same
+    scalar-prefetch path (SMEM (1,1) blocks of an (F,1) array are not
+    lowerable on TPU);
+  - similarities accumulate in fp32 on the MXU; inputs stay bf16;
+  - scoped VMEM: the 16MB default limit rejects the 512p top site
+    (observed on hardware: 16.26MB needed), so vmem_limit_bytes is raised
+    (v5e has 128MB physical VMEM).
 
-VMEM bound: needs roughly 2*(S*D)*(bf16+bf16) for pivot+kf tables +
-BQ*S fp32 sim + 2*BQ*S one-hot; callers fall back to the jnp path when
-``fits_vmem`` says no (e.g. 768p seq=9216 until the z-blocked variant).
+``fits_vmem`` gates dispatch on both feasibility and measured
+profitability; oversizes fall back to the jnp path (768p top site until a
+match/gather-split variant lands).
 """
 
 from __future__ import annotations
@@ -35,69 +43,58 @@ def _kernel(
     x_ref,  # (1, BQ, D)
     phat_a_ref,  # (1, S, D)
     phat_b_ref,  # (1, S, D)
-    kf_a_ref,  # (1, 1, S, D)
-    kf_b_ref,  # (1, 1, S, D)
-    out_ref,  # (1, 1, BQ, D)
-    oh1_ref,  # scratch (BQ, S) input-dtype
-    oh2_ref,
+    kf_a_ref,  # (3, 1, S, D)
+    kf_b_ref,  # (3, 1, S, D)
+    out_ref,  # (3, 1, BQ, D)
 ):
     f = pl.program_id(0)
-    c = pl.program_id(2)
+    x = x_ref[0]  # (BQ, D)
+    bq, _ = x.shape
+    s = phat_a_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1)
 
-    @pl.when(c == 0)
-    def _match():
-        x = x_ref[0]  # (BQ, D)
-        bq, _ = x.shape
-        s = phat_a_ref.shape[1]
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1)
+    def onehot_argmax(phat):
+        sim = jax.lax.dot_general(
+            x, phat[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, S)
+        idx = jnp.argmax(sim, axis=-1)
+        return (col == idx[:, None]).astype(x.dtype)
 
-        def onehot_argmax(phat):
-            sim = jax.lax.dot_general(
-                x, phat[0],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (BQ, S)
-            idx = jnp.argmax(sim, axis=-1)
-            return (col == idx[:, None]).astype(x.dtype)
-
-        oh1_ref[:] = onehot_argmax(phat_a_ref)
-        oh2_ref[:] = onehot_argmax(phat_b_ref)
-
-    g1 = jax.lax.dot_general(
-        oh1_ref[:], kf_a_ref[0, 0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    g2 = jax.lax.dot_general(
-        oh2_ref[:], kf_b_ref[0, 0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    oh1 = onehot_argmax(phat_a_ref)
+    oh2 = onehot_argmax(phat_b_ref)
     w = w1_ref[f]
-    out_ref[0, 0] = (w * g1 + (1.0 - w) * g2).astype(out_ref.dtype)
+
+    for c in range(3):
+        g1 = jax.lax.dot_general(
+            oh1, kf_a_ref[c, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g2 = jax.lax.dot_general(
+            oh2, kf_b_ref[c, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[c, 0] = (w * g1 + (1.0 - w) * g2).astype(out_ref.dtype)
 
 
 def fits_vmem(s: int, d: int, bq: int = 128, budget: int = 100 << 20) -> bool:
-    """Dispatch predicate: VMEM feasibility AND profitability.
+    """Dispatch predicate: VMEM feasibility AND measured profitability.
 
-    VMEM model vs the raised vmem_limit_bytes below (v5e physical VMEM is
-    128MB; the default scoped limit of 16MB rejects the 512p top site by
-    268KB — observed on hardware). Input tables count double for pipeline
-    double-buffering.
-
-    Profitability: the kernel re-fetches the kf tables on every stream
-    grid step, so DMA grows with table size; measured on v5e it wins up to
-    the 512p top site (table 2.6MB) and loses at 768p (5.9MB) — hence the
-    4MB table cap until the two-kernel (match/gather-split) variant lands.
+    Tables count double for pipeline double-buffering. Profitability: on
+    v5e the kernel wins up to the 512p top site and loses at 768p (table
+    size drives residual DMA + VMEM pressure), hence the kf-block cap.
     """
-    table = s * d * 2  # one bf16 pivot/kf table
-    if table > (4 << 20):
+    kf_block = 3 * s * d * 2  # one (3,S,D) bf16 kf table block
+    if kf_block > (12 << 20):
         return False
-    tables = 2 * 4 * table  # phat_a/b + kf_a/b, double-buffered
-    oh = 2 * bq * s * 2
+    tables = 2 * (2 * kf_block + 2 * s * d * 2)  # kf_a/b + phat_a/b, dbuf
     sim = bq * s * 4
-    x_out = 2 * (2 * bq * d * 4)
-    return tables + oh + sim + x_out < budget
+    oh = 2 * bq * s * 2
+    x_out = 2 * (4 * bq * d * 4)
+    return tables + sim + oh + x_out < budget
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "interpret"))
@@ -120,43 +117,39 @@ def token_match_gather_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(f_total, n_q, 3),
+        grid=(f_total, n_q),
         in_specs=[
             pl.BlockSpec(
                 (1, bq, d),
-                lambda f, iq, c, pa_ref, pb_ref, w1_ref: (f, iq, 0),
+                lambda f, iq, pa_ref, pb_ref, w1_ref: (f, iq, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, s, d),
-                lambda f, iq, c, pa_ref, pb_ref, w1_ref: (pa_ref[f], 0, 0),
+                lambda f, iq, pa_ref, pb_ref, w1_ref: (pa_ref[f], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, s, d),
-                lambda f, iq, c, pa_ref, pb_ref, w1_ref: (pb_ref[f], 0, 0),
+                lambda f, iq, pa_ref, pb_ref, w1_ref: (pb_ref[f], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, s, d),
-                lambda f, iq, c, pa_ref, pb_ref, w1_ref: (c, pa_ref[f], 0, 0),
+                (3, 1, s, d),
+                lambda f, iq, pa_ref, pb_ref, w1_ref: (0, pa_ref[f], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, s, d),
-                lambda f, iq, c, pa_ref, pb_ref, w1_ref: (c, pb_ref[f], 0, 0),
+                (3, 1, s, d),
+                lambda f, iq, pa_ref, pb_ref, w1_ref: (0, pb_ref[f], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, bq, d),
-            lambda f, iq, c, pa_ref, pb_ref, w1_ref: (c, f, iq, 0),
+            (3, 1, bq, d),
+            lambda f, iq, pa_ref, pb_ref, w1_ref: (0, f, iq, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((bq, s), norm_h_src.dtype),
-            pltpu.VMEM((bq, s), norm_h_src.dtype),
-        ],
     )
 
     out = pl.pallas_call(
