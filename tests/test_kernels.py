@@ -62,6 +62,41 @@ def test_token_match_pallas_matches_jnp_interpret():
 
 
 @pytest.mark.tpu
+def test_token_match_pallas_matches_jnp_tpu():
+    import os
+
+    from tokenflow_tpu.kernels.token_match import token_match_gather_pallas
+    from tokenflow_tpu.ops.propagation import (
+        propagation_indices,
+        token_propagation,
+    )
+
+    rng = np.random.default_rng(7)
+    f_total, ws, s, d, kf = 8, 2, 4096, 320, 4
+    norm_h = jnp.asarray(rng.standard_normal((f_total, s, d)), jnp.bfloat16)
+    pivot_h = jnp.asarray(rng.standard_normal((kf, s, d)), jnp.bfloat16)
+    kf_attn = jnp.asarray(
+        rng.standard_normal((3, kf, s, d)), jnp.bfloat16
+    )
+    pa, pb, w1 = (jnp.asarray(a) for a in propagation_indices(f_total, ws))
+
+    os.environ["TOKENFLOW_PALLAS"] = "0"
+    try:
+        ref = token_propagation(norm_h, pivot_h, kf_attn, pa, pb, w1)
+    finally:
+        del os.environ["TOKENFLOW_PALLAS"]
+    p32 = pivot_h.astype(jnp.float32)
+    p_hat = (
+        p32 / (jnp.linalg.norm(p32, axis=-1, keepdims=True) + 1e-12)
+    ).astype(jnp.bfloat16)
+    out = token_match_gather_pallas(norm_h, p_hat, kf_attn, pa, pb, w1)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+
+
+@pytest.mark.tpu
 def test_flash_pallas_matches_sdp_tpu():
     b, h, d, sq, skv = 2, 5, 64, 1024, 4096
     q = _rand((b, sq, h, d), 0).astype(jnp.bfloat16)
