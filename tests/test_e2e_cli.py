@@ -168,3 +168,36 @@ def test_validate_config_errors():
     validate_config(dict(base), "pnp")  # ok
     with _pytest.raises(ValueError, match="propagate_chunk"):
         validate_config({**base, "batch_size": 2, "propagate_chunk": 3}, "pnp")
+
+
+@pytest.mark.slow
+def test_python_api_edit(inverted):
+    """High-level api.edit_pnp on the already-inverted fixture."""
+    workdir, _ = inverted
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        from tokenflow_tpu import api
+
+        config = {
+            "seed": 1,
+            "output_path": "results_api",
+            "data_path": "data/clip",
+            "latents_path": "latents",
+            "n_inversion_steps": STEPS,
+            "n_frames": F,
+            "sd_version": "tiny",
+            "guidance_scale": 7.5,
+            "n_timesteps": N_TIMESTEPS,
+            "prompt": "another test edit",
+            "negative_prompt": "ugly",
+            "batch_size": 2,
+            "pnp_attn_t": 0.5,
+            "pnp_f_t": 0.8,
+            "image_size": HW,
+        }
+        decoded = api.edit_pnp(config)
+        assert decoded.shape == (F, HW, HW, 3)
+        assert os.path.exists("results_api/metrics.json")
+    finally:
+        os.chdir(cwd)

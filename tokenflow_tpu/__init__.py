@@ -9,3 +9,10 @@ Pallas kernels for the hot paths, and frame-axis sharding over a device mesh.
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "api",
+    "runtime",
+    "utils",
+    "profiling",
+]
