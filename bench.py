@@ -116,19 +116,22 @@ def worker():
         inv_sched = ddim.make_schedule(inv_steps)
         cond = embeds3[2:3]
 
-        def eps_fn(x, t):
+        def eps_fn(params, x, t):
             ctx = jnp.broadcast_to(cond, (x.shape[0], *cond.shape[1:]))
-            return stack.unet_apply(stack.unet_params, x, t, ctx, None)[0]
+            return stack.unet_apply(params, x, t, ctx, None)[0]
 
+        # params as traced arg (closure capture would inline 1.7GB of HLO
+        # constants and break the remote-compile transport)
         inv = jax.jit(
-            lambda x: inversion_lib.ddim_inversion(
-                eps_fn, x, inv_sched, inv_steps
+            lambda params, x: inversion_lib.ddim_inversion(
+                lambda xx, tt: eps_fn(params, xx, tt),
+                x, inv_sched, inv_steps,
             )[0]
         )
         progress("worker: inversion compile + run")
-        sync(inv(x_init))
+        sync(inv(stack.unet_params, x_init))
         t0 = time.perf_counter()
-        sync(inv(x_init))
+        sync(inv(stack.unet_params, x_init))
         t_inv = time.perf_counter() - t0
         inv_details = {
             "inversion_steps_measured": inv_steps,

@@ -89,18 +89,21 @@ def test_sharded_inversion_matches_single_device(tiny):
         rng.standard_normal((1, 7, cfg.cross_attention_dim)), jnp.float32
     )
 
-    def eps_fn(x, t):
-        ctx = jnp.broadcast_to(cond, (x.shape[0], *cond.shape[1:]))
-        return model.apply(params, x, t, ctx)[0]
+    def eps_builder(p):
+        def eps_fn(x, t):
+            ctx = jnp.broadcast_to(cond, (x.shape[0], *cond.shape[1:]))
+            return model.apply(p, x, t, ctx)[0]
+
+        return eps_fn
 
     from tokenflow_tpu.diffusion import inversion
 
     xT_single, traj_single, _ = inversion.ddim_inversion(
-        eps_fn, x0, sched, steps
+        eps_builder(params), x0, sched, steps
     )
 
     m = mesh_lib.make_frames_mesh(8)
-    fn = mesh_lib.sharded_inversion(eps_fn, sched, steps, m)
+    fn = mesh_lib.sharded_inversion(eps_builder, params, sched, steps, m)
     xT_sh, traj_sh, _ = fn(x0)
 
     np.testing.assert_allclose(

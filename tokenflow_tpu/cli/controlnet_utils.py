@@ -88,16 +88,16 @@ def load_controlnet(
 
 
 def build_controlnet(stack: runtime.SDStack, frames: np.ndarray, opt):
-    """-> (controlnet_fn(sample, t, ctx, cond) -> (down_res, mid_res),
-    canny (F,H,W,3) jnp array)."""
+    """-> (model, params, canny).
+
+    Callers must pass ``params`` as a traced jit argument and build the
+    apply closure INSIDE the jitted function — closure-captured params
+    become HLO literal constants and break the remote-compile transport
+    (see cli/preprocess.py eps_fn note)."""
     model, params = load_controlnet(
         stack,
         getattr(opt, "controlnet_dir", None),
         getattr(opt, "init", "auto"),
     )
     canny = jnp.asarray(canny_cond(np.asarray(frames)), stack.dtype)
-
-    def controlnet_fn(sample, t, ctx, cond):
-        return model.apply(params, sample, t, ctx, cond)
-
-    return controlnet_fn, canny
+    return model, params, canny

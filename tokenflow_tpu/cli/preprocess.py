@@ -28,38 +28,44 @@ def build_eps_fn(
     stack: runtime.SDStack,
     cond,
     depth=None,
-    controlnet_fn=None,
+    cn_model=None,
     canny=None,
     frame_chunk=None,
 ):
     """Conditional-only eps closure (no CFG during inversion — reference
     preprocess.py:271). Depth maps are concatenated as a 5th latent channel
     (preprocess.py:207-209); ControlNet residuals are added when a
-    controlnet_fn(sample, t, ctx, cond_image) is supplied
-    (preprocess.py:129-149). Frame chunking (the reference's frame
-    micro-batching, preprocess.py:203) happens here so per-frame aux
-    inputs chunk together with x."""
+    cn_model is supplied (preprocess.py:129-149). Frame chunking (the
+    reference's frame micro-batching, preprocess.py:203) happens here so
+    per-frame aux inputs chunk together with x.
 
-    def single(x, d, cn, t):
+    ``params`` is a pytree {"unet": ..., "cn": ...} passed as a traced jit
+    argument (closure-captured params become HLO literal constants and the
+    multi-GB program breaks the remote-compile transport)."""
+
+    def single(params, x, d, cn, t):
         ctx = jnp.broadcast_to(cond, (x.shape[0], *cond.shape[1:]))
         sample = x
         if d is not None:
             sample = jnp.concatenate([x, d.astype(x.dtype)], axis=-1)
         kw = {}
-        if controlnet_fn is not None:
-            down_res, mid_res = controlnet_fn(sample, t, ctx, cn)
+        if cn_model is not None:
+            down_res, mid_res = cn_model.apply(
+                params["cn"], sample, t, ctx, cn
+            )
             kw = dict(
                 down_block_residuals=down_res, mid_block_residual=mid_res
             )
-        eps, _ = stack.unet_apply(
-            stack.unet_params, sample, t, ctx, None, **kw
-        )
+        eps, _ = stack.unet_apply(params["unet"], sample, t, ctx, None, **kw)
         return eps
 
-    def eps_fn(x, t):
+    def eps_fn(params, x, t):
+        # params MUST be a traced argument, not a closure capture: captured
+        # device arrays become HLO literal constants and the 1.7GB program
+        # breaks the remote-compile transport (observed on the axon tunnel)
         f = x.shape[0]
         if not frame_chunk or f <= frame_chunk or f % frame_chunk:
-            return single(x, depth, canny, t)
+            return single(params, x, depth, canny, t)
         n = f // frame_chunk
 
         def view(a):
@@ -73,6 +79,7 @@ def build_eps_fn(
         aux = tuple(a for a in (dc, cc) if a is not None)
         out = jax.lax.map(
             lambda args: single(
+                params,
                 args[0],
                 args[1] if dc is not None else None,
                 args[-1] if cc is not None else None,
@@ -130,34 +137,39 @@ def run(opt) -> dict:
         depth = jnp.asarray(
             load_depth_maps(opt.data_path, opt.n_frames, lat.shape[1:3])
         )
+    cn_model = cn_params = None
     if opt.sd_version == "ControlNet":
         from tokenflow_tpu.cli.controlnet_utils import build_controlnet
 
-        controlnet_fn, canny = build_controlnet(stack, frames, opt)
+        cn_model, cn_params, canny = build_controlnet(stack, frames, opt)
 
     sched = ddim.make_schedule(opt.steps)
     frame_chunk = (
         opt.batch_size if opt.batch_size < opt.n_frames else None
     )
     eps_fn = build_eps_fn(
-        stack, cond, depth, controlnet_fn, canny, frame_chunk
+        stack, cond, depth, cn_model, canny, frame_chunk
     )
+    all_params = {"unet": stack.unet_params, "cn": cn_params}
 
     with utils.Timer() as t_inv:
         invert = jax.jit(
-            lambda x: inversion.ddim_inversion(
-                eps_fn, x, sched, opt.save_steps
+            lambda params, x: inversion.ddim_inversion(
+                lambda xx, tt: eps_fn(params, xx, tt),
+                x, sched, opt.save_steps,
             )
         )
-        x_T, traj, save_ts = invert(lat)
+        x_T, traj, save_ts = invert(all_params, lat)
         utils.force_completion(x_T)
     print(f"[tokenflow-tpu] inversion ({opt.steps} steps): {t_inv.seconds:.1f}s")
 
     with utils.Timer() as t_rec:
         recon = jax.jit(
-            lambda x: inversion.ddim_reconstruction(eps_fn, x, sched)
+            lambda params, x: inversion.ddim_reconstruction(
+                lambda xx, tt: eps_fn(params, xx, tt), x, sched
+            )
         )
-        lat_rec = recon(x_T)
+        lat_rec = recon(all_params, x_T)
         utils.force_completion(lat_rec)
     print(f"[tokenflow-tpu] reconstruction: {t_rec.seconds:.1f}s")
 

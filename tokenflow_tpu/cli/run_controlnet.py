@@ -33,7 +33,7 @@ def edit_video(config: dict) -> np.ndarray:
     data = common.setup_editor(config, use_steps_dir=True)
     common.save_vae_recon(data)
 
-    controlnet_fn, canny = build_controlnet(
+    cn_model, cn_params, canny = build_controlnet(
         data.stack,
         data.frames,
         argparse.Namespace(
@@ -50,7 +50,12 @@ def edit_video(config: dict) -> np.ndarray:
         data.latents.astype(jnp.float32), data.eps, alpha_0
     )
 
-    def loop_fn(params, x0, traj, embeds3, rng, canny):
+    def loop_fn(params, cn_p, x0, traj, embeds3, rng, canny):
+        # the ControlNet apply closure is built INSIDE the traced function
+        # so cn_p stays a traced argument (see build_controlnet docstring)
+        def cn_fn(sample, t, ctx, cond):
+            return cn_model.apply(cn_p, sample, t, ctx, cond)
+
         return pipeline.tokenflow_sample_loop(
             data.stack.unet_apply,
             params,
@@ -63,7 +68,7 @@ def edit_video(config: dict) -> np.ndarray:
             pnp=False,
             rng=rng,
             propagate_chunk=config.get("propagate_chunk"),
-            controlnet_fn=controlnet_fn,
+            controlnet_fn=cn_fn,
             cond_image=canny,
         )
 
@@ -71,6 +76,7 @@ def edit_video(config: dict) -> np.ndarray:
     with utils.Timer() as t_edit:
         latents_out = loop(
             data.stack.unet_params,
+            cn_params,
             x_init.astype(data.stack.dtype),
             jnp.asarray(data.trajectory.traj, data.stack.dtype),
             data.embeds3,

@@ -101,17 +101,29 @@ def sharded_edit_loop(
 
 
 def sharded_inversion(
-    eps_fn, sched, save_steps: int, mesh: Mesh
+    eps_builder, params, sched, save_steps: int, mesh: Mesh
 ):
-    """jit the inversion scan with latents sharded over frames."""
+    """jit the inversion scan with latents sharded over frames.
+
+    ``eps_builder(params) -> eps_fn(x, t)``: params enter as a traced,
+    replicated jit argument (closure-captured params would be inlined as
+    HLO constants — multi-GB programs break the remote-compile transport).
+    Returns fn(x0) with params bound.
+    """
     from tokenflow_tpu.diffusion import inversion
 
     fsh = frames_sharding(mesh)
     tsh = frames_sharding(mesh, frame_axis=1)
+    repl = replicated(mesh)
 
-    def fn(x0):
-        return inversion.ddim_inversion(eps_fn, x0, sched, save_steps)
+    def fn(p, x0):
+        return inversion.ddim_inversion(
+            eps_builder(p), x0, sched, save_steps
+        )
 
-    return jax.jit(
-        fn, in_shardings=(fsh,), out_shardings=(fsh, tsh, None)
+    jitted = jax.jit(
+        fn,
+        in_shardings=(jax.tree.map(lambda _: repl, params), fsh),
+        out_shardings=(fsh, tsh, None),
     )
+    return lambda x0: jitted(params, x0)
