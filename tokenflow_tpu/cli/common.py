@@ -8,13 +8,13 @@ from __future__ import annotations
 import dataclasses
 import os
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from tokenflow_tpu import runtime, utils
+from tokenflow_tpu import runtime
 from tokenflow_tpu.diffusion import ddim
 from tokenflow_tpu.io import latents as latents_io
 from tokenflow_tpu.io import video as video_io

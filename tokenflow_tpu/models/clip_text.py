@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tokenflow_tpu.ops.attention import merge_heads, sdp_attention, split_heads
+from tokenflow_tpu.ops.attention import merge_heads, split_heads
 
 
 @dataclasses.dataclass(frozen=True)

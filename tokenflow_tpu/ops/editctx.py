@@ -12,7 +12,7 @@ surgery ops.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 from flax import struct
