@@ -87,10 +87,13 @@ def flash_attention_bhsd(
     v: jax.Array,
     *,
     scale: float,
-    bq: int = 512,
-    bk: int = 512,
+    bq: int = 1024,
+    bk: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
+    # defaults tuned on v5e at SD self-attention shapes (B=120, S=4096,
+    # D=64): 1024/1024 reaches ~51 TF/s vs ~32 at 512/512, and beats
+    # jax.nn.dot_product_attention (~43) — scripts/tpu_flash_tune.py
     b, h, sq, d = q.shape
     skv = k.shape[2]
     bq = min(bq, max(sq, 8))
@@ -155,8 +158,8 @@ def flash_attention_pallas(
     v: jax.Array,
     *,
     scale: float | None = None,
-    bq: int = 512,
-    bk: int = 512,
+    bq: int = 1024,
+    bk: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     d = q.shape[-1]
