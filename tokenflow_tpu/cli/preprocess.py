@@ -163,16 +163,6 @@ def run(opt) -> dict:
         utils.force_completion(x_T)
     print(f"[tokenflow-tpu] inversion ({opt.steps} steps): {t_inv.seconds:.1f}s")
 
-    with utils.Timer() as t_rec:
-        recon = jax.jit(
-            lambda params, x: inversion.ddim_reconstruction(
-                lambda xx, tt: eps_fn(params, xx, tt), x, sched
-            )
-        )
-        lat_rec = recon(all_params, x_T)
-        utils.force_completion(lat_rec)
-    print(f"[tokenflow-tpu] reconstruction: {t_rec.seconds:.1f}s")
-
     latents_io.save_trajectory(
         save_path,
         np.asarray(traj, np.float32),
@@ -182,6 +172,24 @@ def run(opt) -> dict:
     )
     if opt.export_pt:
         latents_io.export_reference_layout(save_path)
+
+    if opt.skip_reconstruction:
+        # the reconstruction is the reference's inversion-quality sanity
+        # check (preprocess.py:280-284); skipping halves preprocess time
+        return {
+            "save_path": save_path,
+            "inversion_seconds": t_inv.seconds,
+        }
+
+    with utils.Timer() as t_rec:
+        recon = jax.jit(
+            lambda params, x: inversion.ddim_reconstruction(
+                lambda xx, tt: eps_fn(params, xx, tt), x, sched
+            )
+        )
+        lat_rec = recon(all_params, x_T)
+        utils.force_completion(lat_rec)
+    print(f"[tokenflow-tpu] reconstruction: {t_rec.seconds:.1f}s")
 
     rgb = np.asarray(stack.decode_latents(lat_rec))
     video_io.save_frames(rgb, os.path.join(save_path, "frames"))
@@ -228,6 +236,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--export_pt",
         action="store_true",
         help="also write reference-compatible noisy_latents_{t}.pt files",
+    )
+    p.add_argument(
+        "--skip_reconstruction",
+        action="store_true",
+        help="skip the DDIM reconstruction sanity pass (halves preprocess "
+        "time; the reference always reconstructs)",
     )
     return p
 
