@@ -110,3 +110,36 @@ def test_flash_pallas_matches_sdp_tpu():
         rtol=2e-2,
         atol=2e-2,
     )
+
+
+def test_token_match_split_matches_jnp_interpret():
+    import os
+
+    from tokenflow_tpu.kernels.token_match_split import (
+        token_match_gather_split,
+    )
+    from tokenflow_tpu.ops.propagation import (
+        propagation_indices,
+        token_propagation,
+    )
+
+    rng = np.random.default_rng(11)
+    f_total, ws, s, d, kf = 4, 2, 256, 16, 2
+    norm_h = jnp.asarray(rng.standard_normal((f_total, s, d)), jnp.float32)
+    pivot_h = jnp.asarray(rng.standard_normal((kf, s, d)), jnp.float32)
+    kf_attn = jnp.asarray(rng.standard_normal((3, kf, s, d)), jnp.float32)
+    pa, pb, w1 = (jnp.asarray(a) for a in propagation_indices(f_total, ws))
+
+    os.environ["TOKENFLOW_PALLAS"] = "0"
+    try:
+        ref = token_propagation(norm_h, pivot_h, kf_attn, pa, pb, w1)
+    finally:
+        del os.environ["TOKENFLOW_PALLAS"]
+
+    p32 = pivot_h.astype(jnp.float32)
+    p_hat = p32 / (jnp.linalg.norm(p32, axis=-1, keepdims=True) + 1e-12)
+    out = token_match_gather_split(
+        norm_h, p_hat, kf_attn, pa, pb, w1,
+        bq_match=128, bz=128, bq_gather=128, interpret=True,
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

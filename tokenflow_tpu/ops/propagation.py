@@ -123,9 +123,23 @@ def token_propagation(
             fits_vmem,
             token_match_gather_pallas,
         )
+        from tokenflow_tpu.kernels.token_match_split import (
+            token_match_gather_split,
+        )
 
         if fits_vmem(s, d):
             return token_match_gather_pallas(
+                norm_h_src,
+                p_hat.astype(norm_h_src.dtype),
+                kf_attn,
+                pa_f,
+                pb_f,
+                w1,
+            )
+        # large-S sites (768p): split match/gather kernels keep the kf
+        # tables resident per frame; gate on the gather stage's VMEM
+        if 2 * 2 * (3 * s * d * 2) + 2 * 256 * s * 2 < (100 << 20):
+            return token_match_gather_split(
                 norm_h_src,
                 p_hat.astype(norm_h_src.dtype),
                 kf_attn,
