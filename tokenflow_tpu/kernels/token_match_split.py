@@ -5,8 +5,8 @@ The fused kernel (kernels/token_match.py) holds both pivots' full
 
   1. match kernel — z-blocked running argmax over pivot tokens: grid
      (F, n_q, n_z) with per-q-block (max, idx) scratch carried across the
-     innermost z axis; emits int32 indices shaped (F, S//128, 128) so the
-     output blocks satisfy the TPU (8, 128) tile rule.
+     innermost z axis; emits int32 indices shaped (F, 1, S) (full-axis
+     blocks are always tile-legal, and per-frame indices are tiny).
   2. gather kernel — one-hot @ kf-table matmuls for all 3 streams: grid
      (F, n_q); the kf tables are DMA'd once per frame (the fused kernel's
      failure mode at this size was per-step table re-DMA).
@@ -32,7 +32,7 @@ def _match_kernel(
     x_ref,  # (1, BQ, D)
     pha_ref,  # (1, BZ, D) pivot-a token block
     phb_ref,  # (1, BZ, D)
-    ia_ref,  # out (1, BQ//128, 128) int32
+    ia_ref,  # out (1, 1, BQ) int32
     ib_ref,
     m1_ref,  # scratch (BQ, 1) f32
     m2_ref,
@@ -69,25 +69,25 @@ def _match_kernel(
 
     @pl.when(jz == n_z - 1)
     def _emit():
-        bq = x.shape[0]
-        ia_ref[0] = i1_ref[:, 0].reshape(bq // 128, 128)
-        ib_ref[0] = i2_ref[:, 0].reshape(bq // 128, 128)
+        ia_ref[0, 0] = i1_ref[:, 0]
+        ib_ref[0, 0] = i2_ref[:, 0]
 
 
 def _gather_kernel(
     pa_ref, pb_ref, w1_ref,  # scalar-prefetch
-    ia_ref,  # (1, BQ//128, 128) int32
+    ia_ref,  # (1, 1, S) int32 — whole frame's indices
     ib_ref,
     kfa_ref,  # (3, 1, S, D)
     kfb_ref,
     out_ref,  # (3, 1, BQ, D)
 ):
     f = pl.program_id(0)
+    iq = pl.program_id(1)
     s = kfa_ref.shape[2]
-    bq = ia_ref.shape[1] * 128
+    bq = out_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1)
-    i1 = ia_ref[0].reshape(bq)[:, None]
-    i2 = ib_ref[0].reshape(bq)[:, None]
+    i1 = ia_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
+    i2 = ib_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
     oh1 = (col == i1).astype(out_ref.dtype)
     oh2 = (col == i2).astype(out_ref.dtype)
     w = w1_ref[f]
@@ -127,7 +127,6 @@ def token_match_gather_split(
     bz = min(bz, s)
     bq_gather = min(bq_gather, s)
     assert s % bq_match == 0 and s % bz == 0 and s % bq_gather == 0
-    assert bq_match % 128 == 0 and bq_gather % 128 == 0
 
     pa = pa.astype(jnp.int32)
     pb = pb.astype(jnp.int32)
@@ -155,13 +154,13 @@ def token_match_gather_split(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, bq_match // 128, 128),
-                lambda f, iq, jz, pa_ref, pb_ref: (f, iq * (bq_match // 128), 0),
+                (1, 1, bq_match),
+                lambda f, iq, jz, pa_ref, pb_ref: (f, 0, iq),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, bq_match // 128, 128),
-                lambda f, iq, jz, pa_ref, pb_ref: (f, iq * (bq_match // 128), 0),
+                (1, 1, bq_match),
+                lambda f, iq, jz, pa_ref, pb_ref: (f, 0, iq),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -172,7 +171,7 @@ def token_match_gather_split(
             pltpu.VMEM((bq_match, 1), jnp.int32),
         ],
     )
-    idx_shape = jax.ShapeDtypeStruct((f_total, s // 128, 128), jnp.int32)
+    idx_shape = jax.ShapeDtypeStruct((f_total, 1, s), jnp.int32)
     ia, ib = pl.pallas_call(
         _match_kernel,
         grid_spec=match_spec,
@@ -187,17 +186,13 @@ def token_match_gather_split(
         grid=(f_total, s // bq_gather),
         in_specs=[
             pl.BlockSpec(
-                (1, bq_gather // 128, 128),
-                lambda f, iq, pa_ref, pb_ref, w1_ref: (
-                    f, iq * (bq_gather // 128), 0
-                ),
+                (1, 1, s),
+                lambda f, iq, pa_ref, pb_ref, w1_ref: (f, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, bq_gather // 128, 128),
-                lambda f, iq, pa_ref, pb_ref, w1_ref: (
-                    f, iq * (bq_gather // 128), 0
-                ),
+                (1, 1, s),
+                lambda f, iq, pa_ref, pb_ref, w1_ref: (f, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
