@@ -106,7 +106,7 @@ def worker():
     t_steady = time.perf_counter() - t0
 
     inv_details = {}
-    if os.environ.get("BENCH_INVERSION", "0") == "1":
+    if os.environ.get("BENCH_INVERSION", "0" if tiny else "1") == "1":
         # conditional-only inversion throughput (the reference's other hot
         # loop — preprocess.py:198-230); measured at a reduced step count
         # and scaled, since the loop is per-step homogeneous
@@ -133,10 +133,22 @@ def worker():
         t0 = time.perf_counter()
         sync(inv(stack.unet_params, x_init))
         t_inv = time.perf_counter() - t0
+        inv_sec = t_inv / inv_steps
+        # BASELINE.json metric: wall-clock for the 40-frame PnP edit INCL.
+        # inversion. Reference preprocess runs 500 inversion + 500
+        # reconstruction steps (preprocess.py:263-284, both are the same
+        # cond-only UNet loop); the edit stage is the measured 50-step
+        # scan. Reported from measured per-step times, single chip.
         inv_details = {
             "inversion_steps_measured": inv_steps,
-            "inversion_sec_per_step": round(t_inv / inv_steps, 4),
-            "inversion_500step_est_sec": round(500 * t_inv / inv_steps, 1),
+            "inversion_sec_per_step": round(inv_sec, 4),
+            "inversion_500step_est_sec": round(500 * inv_sec, 1),
+            "end_to_end_seconds_40f_512p": round(
+                2 * 500 * inv_sec + t_steady, 1
+            ),
+            "end_to_end_skip_recon_seconds_40f_512p": round(
+                500 * inv_sec + t_steady, 1
+            ),
         }
 
     fps = f_total / t_steady

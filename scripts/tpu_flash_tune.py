@@ -68,6 +68,22 @@ def main():
         )
         report("", dt)
 
+    # softmax VPU variants (d_head=64 pins the MXU at ~50% of peak, so
+    # softmax elementwise cost is the remaining lever)
+    for use_exp2, soft_bf16 in ((False, False), (True, False), (True, True)):
+        for bq, bk in ((1024, 1024), (2048, 1024), (1024, 2048), (2048, 2048)):
+            dt = timed(
+                f"pallas exp2={use_exp2} softbf16={soft_bf16} bq={bq} bk={bk}",
+                jax.jit(
+                    lambda q, k, v, a=use_exp2, s=soft_bf16, bq=bq, bk=bk:
+                    flash_attention_pallas(
+                        q, k, v, bq=bq, bk=bk, use_exp2=a, soft_bf16=s
+                    )
+                ),
+                q, k, v,
+            )
+            report("", dt)
+
     # jax.nn.dot_product_attention (XLA path)
     dt = timed(
         "jax.nn.dot_product_attention",

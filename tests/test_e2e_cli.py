@@ -201,3 +201,156 @@ def test_python_api_edit(inverted):
         assert os.path.exists("results_api/metrics.json")
     finally:
         os.chdir(cwd)
+
+
+@pytest.mark.slow
+def test_controlnet_edit_e2e(workdir):
+    """Full two-stage ControlNet flow on the tiny stack (VERDICT r1 #5):
+    preprocess with the ControlNet residual branch (reference
+    preprocess.py:60-68,129-149 contract) -> run_controlnet edit with canny
+    conditioning on every pass (BASELINE config 4 shape)."""
+    from tokenflow_tpu.cli import run_controlnet
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        opt = preprocess_cli.build_parser().parse_args(
+            [
+                "--data_path", "data/clip",
+                "--H", str(HW), "--W", str(HW),
+                "--sd_version", "tiny-controlnet",
+                "--steps", str(STEPS),
+                "--save_steps", str(SAVE_STEPS),
+                "--n_frames", str(F),
+                "--batch_size", str(F),
+                "--inversion_prompt", "a test clip",
+            ]
+        )
+        result = preprocess_cli.run(opt)
+        assert os.path.exists(
+            os.path.join(result["save_path"], "latents", "trajectory.npz")
+        )
+
+        config = {
+            "seed": 1,
+            "device": "cpu",
+            "output_path": "results",
+            "data_path": "data/clip",
+            "latents_path": "latents",
+            "n_inversion_steps": STEPS,
+            "n_frames": F,
+            "sd_version": "tiny-controlnet",
+            "guidance_scale": 7.5,
+            "n_timesteps": N_TIMESTEPS,
+            "prompt": "a stylized test clip",
+            "negative_prompt": "ugly",
+            "batch_size": 2,
+            "image_size": HW,
+        }
+        config = run_controlnet.resolve_output_path(config)
+        os.makedirs(config["output_path"], exist_ok=True)
+        from tokenflow_tpu.cli.common import dump_config
+
+        dump_config(config)
+        decoded = run_controlnet.edit_video(config)
+        assert decoded.shape == (F, HW, HW, 3)
+        assert np.isfinite(decoded).all()
+        out = config["output_path"]
+        for name in (
+            "img_ode/00000.png",
+            "tokenflow_ControlNet_fps_10.mp4",
+            "config.yaml",
+        ):
+            assert os.path.exists(os.path.join(out, name)), name
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.slow
+def test_depth_edit_e2e(workdir):
+    """5-channel depth-conditioned flow on the tiny stack (VERDICT r1 #5):
+    synthetic depth/%05d.npy maps (the precomputed path of io/depth.py) ->
+    preprocess with sd_version tiny-depth -> PnP edit (reference
+    run_tokenflow_pnp.py:63-64,70-105,200-201 contract)."""
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        depth_dir = workdir / "data" / "clip" / "depth"
+        depth_dir.mkdir(exist_ok=True)
+        rng = np.random.default_rng(7)
+        for i in range(F):
+            # plausible raw MiDaS-like map: smooth gradient + noise, any HxW
+            yy, xx = np.mgrid[0:37, 0:41]
+            np.save(
+                depth_dir / f"{i:05d}.npy",
+                (yy * 10.0 + xx + rng.random((37, 41)) * 5 + i).astype(
+                    np.float32
+                ),
+            )
+
+        opt = preprocess_cli.build_parser().parse_args(
+            [
+                "--data_path", "data/clip",
+                "--H", str(HW), "--W", str(HW),
+                "--sd_version", "tiny-depth",
+                "--steps", str(STEPS),
+                "--save_steps", str(SAVE_STEPS),
+                "--n_frames", str(F),
+                "--batch_size", str(F),
+                "--inversion_prompt", "a test clip",
+            ]
+        )
+        result = preprocess_cli.run(opt)
+        assert os.path.exists(
+            os.path.join(result["save_path"], "latents", "trajectory.npz")
+        )
+
+        config = {
+            "seed": 1,
+            "device": "cpu",
+            "output_path": "results",
+            "data_path": "data/clip",
+            "latents_path": "latents",
+            "n_inversion_steps": STEPS,
+            "n_frames": F,
+            "sd_version": "tiny-depth",
+            "guidance_scale": 7.5,
+            "n_timesteps": N_TIMESTEPS,
+            "prompt": "a stylized test clip",
+            "negative_prompt": "ugly",
+            "batch_size": 2,
+            "pnp_attn_t": 0.5,
+            "pnp_f_t": 0.8,
+            "image_size": HW,
+        }
+        config = run_pnp.resolve_output_path(config)
+        os.makedirs(config["output_path"], exist_ok=True)
+        from tokenflow_tpu.cli.common import dump_config
+
+        dump_config(config)
+        decoded = run_pnp.edit_video(config)
+        assert decoded.shape == (F, HW, HW, 3)
+        assert np.isfinite(decoded).all()
+        assert os.path.exists(
+            os.path.join(config["output_path"], "tokenflow_PnP_fps_10.mp4")
+        )
+    finally:
+        os.chdir(cwd)
+
+
+def test_save_video_encoder_fallback(tmp_path):
+    """save_video prefers libx264 (reference util.py:88-96) and falls back
+    to mp4v; the choice is recorded for metrics.json."""
+    from tokenflow_tpu.io import video as video_io
+
+    frames = np.random.default_rng(0).random((3, 16, 16, 3)).astype(
+        np.float32
+    )
+    out = tmp_path / "v.mp4"
+    video_io.save_video(frames, str(out), fps=10)
+    assert out.exists() and out.stat().st_size > 0
+    assert video_io.LAST_ENCODER in (
+        "libx264-av-crf18-slow",
+        "libx264-ffmpeg-crf18-slow",
+        "mp4v-opencv",
+    )

@@ -31,6 +31,34 @@ def test_flash_pallas_matches_sdp_interpret(sq, skv, bq, bk):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_flash_pallas_exp2_matches_sdp_interpret():
+    """exp2-domain softmax is mathematically identical (exp(x) =
+    exp2(x*log2e)); must agree to f32 rounding."""
+    b, h, d, sq, skv = 2, 3, 16, 32, 100
+    q, k, v = _rand((b, sq, h, d), 3), _rand((b, skv, h, d), 4), _rand(
+        (b, skv, h, d), 5
+    )
+    ref = sdp_attention(q, k, v)
+    out = flash_attention_pallas(
+        q, k, v, bq=16, bk=32, interpret=True, use_exp2=True
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_pallas_soft_bf16_matches_sdp_interpret():
+    """bf16 softmax chain: same precision class as the reference's fp16
+    softmax (tokenflow_utils.py:173-179); loose tolerance."""
+    b, h, d, sq, skv = 2, 3, 16, 32, 100
+    q, k, v = _rand((b, sq, h, d), 6), _rand((b, skv, h, d), 7), _rand(
+        (b, skv, h, d), 8
+    )
+    ref = sdp_attention(q, k, v)
+    out = flash_attention_pallas(
+        q, k, v, bq=16, bk=32, interpret=True, use_exp2=True, soft_bf16=True
+    )
+    np.testing.assert_allclose(out, ref, rtol=5e-2, atol=2e-2)
+
+
 def test_token_match_pallas_matches_jnp_interpret():
     from tokenflow_tpu.kernels.token_match import token_match_gather_pallas
     from tokenflow_tpu.ops.propagation import (

@@ -52,3 +52,39 @@ def test_sd15_configs():
     assert clip_cfg.hidden_act == "quick_gelu"
     unet_cfg, _, _ = runtime.configs_for("depth")
     assert unet_cfg.in_channels == 5
+
+
+def test_vae_mapped_chunking_matches_host_loop(stack):
+    """The single-dispatch lax.map chunking (SDStack._vae_mapped) must be
+    numerically identical to the round-1 host loop, including a ragged
+    final chunk (7 frames, batch 2)."""
+    rng = np.random.default_rng(1)
+    frames = rng.random((7, 32, 32, 3)).astype(np.float32)
+
+    x = jnp.asarray(frames) * 2.0 - 1.0
+    ref = runtime._batched(
+        lambda xb: stack.vae.apply(
+            stack.vae_params, xb, method=stack.vae.encode
+        ),
+        x,
+        2,
+    )
+    out = stack._vae_mapped("encode")(stack.vae_params, x, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    lat = stack.encode_frames(frames, batch=2)
+    ref_dec = runtime._batched(
+        lambda zb: stack.vae.apply(
+            stack.vae_params, zb, method=stack.vae.decode
+        ),
+        jnp.asarray(lat) / stack.vae.config.scaling_factor,
+        3,
+    )
+    out_dec = stack._vae_mapped("decode")(
+        stack.vae_params,
+        jnp.asarray(lat) / stack.vae.config.scaling_factor,
+        3,
+    )
+    np.testing.assert_allclose(np.asarray(out_dec), np.asarray(ref_dec),
+                               rtol=1e-5, atol=1e-5)

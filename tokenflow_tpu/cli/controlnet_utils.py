@@ -77,12 +77,16 @@ def load_controlnet(
             )
         }
     else:
+        # cond-embedding depth is inferred from the cond/latent spatial
+        # ratio at trace time, so init must use the stack's real VAE
+        # factor (x8 for SD, x2 for the tiny test stack)
+        vae_factor = 2 ** (len(stack.vae.config.block_out_channels) - 1)
         params = model.init(
             jax.random.PRNGKey(0),
             jnp.zeros((1, 8, 8, cfg.in_channels)),
             jnp.asarray(0),
             jnp.zeros((1, 77, cfg.cross_attention_dim)),
-            jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 8 * vae_factor, 8 * vae_factor, 3)),
         )
     return model, params
 

@@ -133,12 +133,12 @@ def run(opt) -> dict:
     depth = None
     controlnet_fn = None
     canny = None
-    if opt.sd_version == "depth":
+    if runtime.is_depth(opt.sd_version):
         depth = jnp.asarray(
             load_depth_maps(opt.data_path, opt.n_frames, lat.shape[1:3])
         )
     cn_model = cn_params = None
-    if opt.sd_version == "ControlNet":
+    if runtime.is_controlnet(opt.sd_version):
         from tokenflow_tpu.cli.controlnet_utils import build_controlnet
 
         cn_model, cn_params, canny = build_controlnet(stack, frames, opt)
@@ -217,7 +217,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--sd_version",
         type=str,
         default="2.1",
-        choices=["1.5", "2.0", "2.1", "ControlNet", "depth", "tiny"],
+        choices=[
+            "1.5", "2.0", "2.1", "ControlNet", "depth",
+            "tiny", "tiny-depth", "tiny-controlnet",
+        ],
     )
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--batch_size", type=int, default=40)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tokenflow_tpu import utils
+from tokenflow_tpu import runtime, utils
 from tokenflow_tpu.cli import common
 from tokenflow_tpu.diffusion import ddim
 from tokenflow_tpu.editing import pipeline
@@ -42,7 +42,7 @@ def edit_video(config: dict) -> np.ndarray:
     )
 
     depth = None
-    if config["sd_version"] == "depth":
+    if runtime.is_depth(config["sd_version"]):
         from tokenflow_tpu.cli.preprocess import load_depth_maps
 
         depth = jnp.asarray(
@@ -97,6 +97,9 @@ def edit_video(config: dict) -> np.ndarray:
         decoded = common.save_outputs(data, latents_out, "PnP")
     metrics.add("edited_frames_per_sec", round(fps, 3))
     metrics.add("n_steps", n_steps)
+    from tokenflow_tpu.io import video as video_io
+
+    metrics.add("video_encoder", video_io.LAST_ENCODER)
     metrics.dump(os.path.join(config["output_path"], "metrics.json"))
     print("Done!")
     return decoded

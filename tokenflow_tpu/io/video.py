@@ -4,19 +4,27 @@ SURVEY.md §2.11 keeps encoding host-side).
 Mirrors the reference's conventions (util.py:18-29, 88-96;
 preprocess.py:184-196): ``data/{video}/%05d.png`` frame stores, LANCZOS
 resizing of square frames to 512x512, .mov rotation workaround, mp4 export.
-The reference encodes with libx264 crf=18 via PyAV; this environment has no
-ffmpeg bindings, so mp4s use OpenCV's mp4v codec (frames are also always
-written as lossless PNGs, which is what quality metrics consume).
+The reference encodes with libx264 crf=18 preset=slow (util.py:88-96);
+``save_video`` reproduces that when PyAV or an ffmpeg binary is available
+and falls back to OpenCV mp4v otherwise (frames are also always written as
+lossless PNGs, which is what quality metrics consume). The encoder actually
+used is recorded in :data:`LAST_ENCODER` and logged into metrics.json by
+the profiling layer.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import subprocess
 from pathlib import Path
 
 import cv2
 import numpy as np
 from PIL import Image
+
+# name of the encoder used by the most recent save_video call
+LAST_ENCODER: str = "none"
 
 
 def video_to_frames(
@@ -92,18 +100,76 @@ def save_frames(frames: np.ndarray, out_dir: str) -> None:
         )
 
 
+def _save_video_av(rgb: np.ndarray, save_path: str, fps: int) -> bool:
+    """libx264 crf=18 preset=slow via PyAV (the reference encoder,
+    util.py:88-96). Returns False if PyAV is unavailable."""
+    try:
+        import av
+    except ImportError:
+        return False
+    container = av.open(save_path, mode="w")
+    stream = container.add_stream("libx264", rate=fps)
+    stream.height, stream.width = rgb.shape[1], rgb.shape[2]
+    stream.pix_fmt = "yuv420p"
+    stream.options = {"crf": "18", "preset": "slow"}
+    for frame in rgb:
+        for packet in stream.encode(
+            av.VideoFrame.from_ndarray(frame, format="rgb24")
+        ):
+            container.mux(packet)
+    for packet in stream.encode():
+        container.mux(packet)
+    container.close()
+    return True
+
+
+def _save_video_ffmpeg(rgb: np.ndarray, save_path: str, fps: int) -> bool:
+    """libx264 crf=18 preset=slow via an ffmpeg binary on PATH."""
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        return False
+    f, h, w, _ = rgb.shape
+    proc = subprocess.run(
+        [
+            ffmpeg, "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
+            "-s", f"{w}x{h}", "-r", str(fps), "-i", "-",
+            "-c:v", "libx264", "-crf", "18", "-preset", "slow",
+            "-pix_fmt", "yuv420p", save_path,
+        ],
+        input=rgb.tobytes(),
+        capture_output=True,
+    )
+    return proc.returncode == 0 and os.path.getsize(save_path) > 0
+
+
 def save_video(frames: np.ndarray, save_path: str, fps: int = 10) -> None:
-    """float (F, H, W, 3) in [0,1] -> mp4 (OpenCV mp4v)."""
+    """float (F, H, W, 3) in [0,1] -> mp4.
+
+    Encoder preference: PyAV libx264 (exact reference settings) -> ffmpeg
+    binary libx264 -> OpenCV mp4v fallback. Sets :data:`LAST_ENCODER`.
+    """
+    global LAST_ENCODER
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
-    f, h, w, _ = frames.shape
+    rgb = (np.clip(frames, 0.0, 1.0) * 255).round().astype(np.uint8)
+    try:
+        if _save_video_av(rgb, save_path, fps):
+            LAST_ENCODER = "libx264-av-crf18-slow"
+            return
+    except Exception:
+        pass
+    try:
+        if _save_video_ffmpeg(rgb, save_path, fps):
+            LAST_ENCODER = "libx264-ffmpeg-crf18-slow"
+            return
+    except Exception:
+        pass
+    f, h, w, _ = rgb.shape
     writer = cv2.VideoWriter(
         save_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
     )
     if not writer.isOpened():
         raise RuntimeError(f"cannot open video writer for {save_path}")
-    for frame in np.clip(frames, 0.0, 1.0):
-        bgr = cv2.cvtColor(
-            (frame * 255).round().astype(np.uint8), cv2.COLOR_RGB2BGR
-        )
-        writer.write(bgr)
+    for frame in rgb:
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
     writer.release()
+    LAST_ENCODER = "mp4v-opencv"

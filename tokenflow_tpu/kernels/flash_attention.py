@@ -14,6 +14,7 @@ Layout: (B, H, Sq, D) inside the kernel (head-major so blocks are 2D
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -21,11 +22,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2_E = math.log2(math.e)
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, skv, bk
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+    *, scale, skv, bk, use_exp2, soft_bf16,
 ):
+    """One (batch, head, q-block, kv-block) grid step.
+
+    The matmul ceiling at SD's d_head=64 is ~50% of MXU peak (the 64-deep
+    contraction / 64-wide PV output half-fill each 128x128 pass, and no
+    head packing changes the pass count), so the kernel's headroom is on
+    the VPU side of softmax. Two measured levers (scripts/tpu_flash_tune.py):
+      use_exp2   fold scale*log2(e) into the Q tile once per block and use
+                 exp2 instead of exp (exp lowers to exp2+mul on TPU; this
+                 removes the per-logit scale mul and the extra mul in exp);
+      soft_bf16  run the max/sub/exp2 elementwise chain in bf16 (2x VPU
+                 lanes); l accumulates in f32. Probs are bf16 for the PV
+                 matmul either way, matching the reference's fp16 softmax
+                 precision class (tokenflow_utils.py:173-179).
+    """
     jk = pl.program_id(3)
     n_k = pl.num_programs(3)
 
@@ -39,22 +56,42 @@ def _flash_kernel(
     k = k_ref[0, 0]  # (BK, D)
     v = v_ref[0, 0]
 
+    if use_exp2:
+        # pre-scale Q (O(BQ*D), amortized over BK logits per element)
+        q = (q.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype)
+        expfn = jnp.exp2
+    else:
+        expfn = jnp.exp
+
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (BQ, BK)
+    )  # (BQ, BK), log2-domain when use_exp2
+    if not use_exp2:
+        s = s * scale
 
     # mask KV padding in the final block
     if skv % bk != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * bk
         s = jnp.where(col < skv, s, NEG_INF)
 
-    m_prev = m_ref[:]  # (BQ, 1)
-    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
-    corr = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_ref[:] = l_ref[:] * corr + p.sum(axis=-1, keepdims=True)
+    m_prev = m_ref[:]  # (BQ, 1) f32
+    if soft_bf16:
+        sb = s.astype(jnp.bfloat16)
+        m_new = jnp.maximum(
+            m_prev, sb.max(axis=-1, keepdims=True).astype(jnp.float32)
+        )
+        p = expfn(sb - m_new.astype(jnp.bfloat16))
+        l_blk = jnp.sum(
+            p, axis=-1, keepdims=True, dtype=jnp.float32
+        )
+    else:
+        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = expfn(s - m_new)
+        l_blk = p.sum(axis=-1, keepdims=True)
+    corr = expfn(m_prev - m_new)
+    l_ref[:] = l_ref[:] * corr + l_blk
     m_ref[:] = m_new
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v,
@@ -78,8 +115,20 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
+def _env_flag(name: str, default: bool) -> bool:
+    import os
+
+    val = os.environ.get(name)
+    if val is None:
+        return default
+    return val == "1"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("scale", "bq", "bk", "interpret")
+    jax.jit,
+    static_argnames=(
+        "scale", "bq", "bk", "interpret", "use_exp2", "soft_bf16"
+    ),
 )
 def flash_attention_bhsd(
     q: jax.Array,  # (B, H, Sq, D)
@@ -90,6 +139,8 @@ def flash_attention_bhsd(
     bq: int = 1024,
     bk: int = 1024,
     interpret: bool = False,
+    use_exp2: bool = True,
+    soft_bf16: bool = False,
 ) -> jax.Array:
     # defaults tuned on v5e at SD self-attention shapes (B=120, S=4096,
     # D=64): 1024/1024 reaches ~51 TF/s vs ~32 at 512/512, and beats
@@ -107,7 +158,10 @@ def flash_attention_bhsd(
 
     grid = (b, h, n_q, n_k)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, skv=skv, bk=bk),
+        functools.partial(
+            _flash_kernel, scale=scale, skv=skv, bk=bk,
+            use_exp2=use_exp2, soft_bf16=soft_bf16,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -161,9 +215,15 @@ def flash_attention_pallas(
     bq: int = 1024,
     bk: int = 1024,
     interpret: bool = False,
+    use_exp2: bool | None = None,
+    soft_bf16: bool | None = None,
 ) -> jax.Array:
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
+    if use_exp2 is None:
+        use_exp2 = _env_flag("TOKENFLOW_FLASH_EXP2", True)
+    if soft_bf16 is None:
+        soft_bf16 = _env_flag("TOKENFLOW_FLASH_SOFT_BF16", False)
     out = flash_attention_bhsd(
         q.transpose(0, 2, 1, 3),
         k.transpose(0, 2, 1, 3),
@@ -172,5 +232,7 @@ def flash_attention_pallas(
         bq=bq,
         bk=bk,
         interpret=interpret,
+        use_exp2=use_exp2,
+        soft_bf16=soft_bf16,
     )
     return out.transpose(0, 2, 1, 3)
