@@ -26,6 +26,17 @@ from tokenflow_tpu.io import video as video_io
 
 
 def edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
+    from tokenflow_tpu import runtime
+
+    if runtime.is_depth(config["sd_version"]):
+        # the reference SDEdit editor has no depth plumbing either (its
+        # run_tokenflow_sdedit.py never concatenates depth channels); fail
+        # fast instead of a UNet channel-shape error mid-trace
+        raise ValueError(
+            "SDEdit does not support depth-conditioned models "
+            f"(sd_version={config['sd_version']!r}); use the PnP editor "
+            "(run_tokenflow_pnp.py) for sd_version='depth'"
+        )
     rng = utils.seed_everything(config["seed"])
     # SDEdit resolves latents across all steps_* dirs
     # (run_tokenflow_sdedit.py:81-92)

@@ -93,9 +93,20 @@ def make_edit_schedule(
 def _stream_embeds(
     embeds3: jax.Array, n: int
 ) -> jax.Array:
-    """(3, 77, D) [inv|uncond|cond] -> (3n, 77, D) [inv*n|uncond*n|cond*n]
-    (matches reference run_tokenflow_pnp.py:206-207)."""
-    return jnp.repeat(embeds3, n, axis=0)
+    """(3, 77, D) [inv|uncond|cond] -> (3n, 77, D) FRAME-MAJOR
+    ([inv,uncond,cond] per frame). Same per-(frame,stream) pairing as the
+    reference's stream-major concat (run_tokenflow_pnp.py:206-207); the
+    frame-major flattening keeps the batch axis shardable over a frames
+    mesh (see models/layers.py PIVOTAL note)."""
+    return jnp.tile(embeds3, (n, 1, 1))
+
+
+def _stack_streams(*streams: jax.Array) -> jax.Array:
+    """k stream arrays (F, ...) -> (k*F, ...) frame-major batch
+    (item i = (frame i//k, stream i%k))."""
+    return jnp.stack(streams, axis=1).reshape(
+        -1, *streams[0].shape[1:]
+    )
 
 
 def _with_depth(x: jax.Array, depth: Optional[jax.Array]) -> jax.Array:
@@ -155,7 +166,7 @@ def tokenflow_sample_loop(
         run_tokenflow_pnp.py:201 analog for depth)."""
         if controlnet_fn is None:
             return {}
-        cond3 = jnp.concatenate([cond, cond, cond], axis=0)
+        cond3 = jnp.repeat(cond, 3, axis=0)  # frame-major replication
         down, mid = controlnet_fn(sample, t, embeds, cond3)
         return dict(
             down_block_residuals=down, mid_block_residual=mid
@@ -169,21 +180,20 @@ def tokenflow_sample_loop(
             + window_offsets
         )
 
-        def seg(stream_piv, stream_all, d_piv, d_all):
-            return jnp.concatenate(
-                [
-                    _with_depth(stream_piv, d_piv),
-                    _with_depth(stream_all, d_all),
-                ],
-                axis=0,
-            )
-
         d_piv = None if depth is None else depth[piv]
+        # [3*kf pivots | 3*f frames], each segment frame-major
         sample = jnp.concatenate(
             [
-                seg(src[piv], src, d_piv, depth),
-                seg(x[piv], x, d_piv, depth),
-                seg(x[piv], x, d_piv, depth),
+                _stack_streams(
+                    _with_depth(src[piv], d_piv),
+                    _with_depth(x[piv], d_piv),
+                    _with_depth(x[piv], d_piv),
+                ),
+                _stack_streams(
+                    _with_depth(src, depth),
+                    _with_depth(x, depth),
+                    _with_depth(x, depth),
+                ),
             ],
             axis=0,
         )
@@ -200,10 +210,10 @@ def tokenflow_sample_loop(
         )
         eps_all, _ = unet_apply(params, sample, t, embeds_fused, edit)
         eps3 = eps_all.reshape(
-            3, n_windows + f_total, *eps_all.shape[1:]
-        )[:, n_windows:]
+            n_windows + f_total, 3, *eps_all.shape[1:]
+        )[n_windows:]
         eps = ddim.classifier_free_guidance(
-            eps3[1], eps3[2], guidance_scale
+            eps3[:, 1], eps3[:, 2], guidance_scale
         )
         return ddim.ddim_step(x, eps, a_t, a_prev).astype(x.dtype), None
 
@@ -219,13 +229,10 @@ def tokenflow_sample_loop(
         x_piv, src_piv, d_piv = x[piv], src[piv], (
             None if depth is None else depth[piv]
         )
-        sample_piv = jnp.concatenate(
-            [
-                _with_depth(src_piv, d_piv),
-                _with_depth(x_piv, d_piv),
-                _with_depth(x_piv, d_piv),
-            ],
-            axis=0,
+        sample_piv = _stack_streams(
+            _with_depth(src_piv, d_piv),
+            _with_depth(x_piv, d_piv),
+            _with_depth(x_piv, d_piv),
         )
         edit_piv = editctx.UNetEdit(
             mode=editctx.EditMode.PIVOTAL,
@@ -247,13 +254,10 @@ def tokenflow_sample_loop(
         # ---- propagation pass over all frames (chunked)
         def prop_one(args):
             x_c, src_c, pa_i, pb_i, w1_i, d_i, cn_i = args
-            sample = jnp.concatenate(
-                [
-                    _with_depth(src_c, d_i),
-                    _with_depth(x_c, d_i),
-                    _with_depth(x_c, d_i),
-                ],
-                axis=0,
+            sample = _stack_streams(
+                _with_depth(src_c, d_i),
+                _with_depth(x_c, d_i),
+                _with_depth(x_c, d_i),
             )
             edit = editctx.UNetEdit(
                 mode=editctx.EditMode.PROPAGATE,
@@ -270,7 +274,10 @@ def tokenflow_sample_loop(
                 params, sample, t, embeds_prop, edit,
                 **residual_kwargs(sample, t, embeds_prop, cn_i),
             )
-            return eps_c.reshape(3, chunk, *eps_c.shape[1:])
+            # frame-major batch -> (3, chunk, ...) stream-major view for CFG
+            return jnp.moveaxis(
+                eps_c.reshape(chunk, 3, *eps_c.shape[1:]), 1, 0
+            )
 
         x_c, src_c = chunk_view(x), chunk_view(src)
         if n_chunks == 1:
@@ -338,11 +345,11 @@ def vanilla_sample_loop(
     embeds = _stream_embeds(embeds2, chunk)
 
     def denoise_chunk(x_c, t):
-        sample = jnp.concatenate([x_c, x_c], axis=0)
+        sample = _stack_streams(x_c, x_c)  # frame-major [uncond|cond]
         eps2, _ = unet_apply(params, sample, t, embeds, None)
-        eps2 = eps2.reshape(2, chunk, *eps2.shape[1:])
+        eps2 = eps2.reshape(chunk, 2, *eps2.shape[1:])
         return ddim.classifier_free_guidance(
-            eps2[0], eps2[1], guidance_scale
+            eps2[:, 0], eps2[:, 1], guidance_scale
         )
 
     def step_fn(x, xs):

@@ -193,40 +193,56 @@ class BasicTransformerBlock(nn.Module):
         if mode == editctx.EditMode.NONE:
             attn_out = self.attn1(h_norm)
         elif mode == editctx.EditMode.PIVOTAL:
+            # batch is FRAME-MAJOR: item i = (frame i//3, stream i%3).
+            # A stream-major (3, kf) view of a frame-sharded batch axis is
+            # not an expressible HLO sharding, so GSPMD would all-gather
+            # the full hidden states at every edit site (measured,
+            # scripts/inspect_sharded_hlo.py); the frame-major layout
+            # factors cleanly over the frames mesh.
             kf = edit.n_frames
             q, k, v = self.attn1.qkv(h_norm)
-            q3, k3, v3 = (p.reshape(3, kf, s, -1) for p in (q, k, v))
+            q3, k3, v3 = (
+                p.reshape(kf, 3, s, -1).transpose(1, 0, 2, 3)
+                for p in (q, k, v)
+            )
             if edit.qk_inject_site:
                 q3, k3 = inject_source_qk(q3, k3, edit.qk_gate)
             o3 = extended_attention(
                 q3, k3, v3, heads=self.heads, kv_block=self.kv_block
             )
-            attn_out = self.attn1.out(o3.reshape(b, s, -1))
+            attn_out = self.attn1.out(
+                o3.transpose(1, 0, 2, 3).reshape(b, s, -1)
+            )
             cache_out = {
                 # source-stream normed states drive the NN matching
                 # (reference uses pivot_hidden_states[0],
                 # tokenflow_utils.py:335-336)
-                "pivot_h": h_norm.reshape(3, kf, s, dim)[0],
-                "kf_attn": attn_out.reshape(3, kf, s, dim),
+                "pivot_h": h_norm.reshape(kf, 3, s, dim)[:, 0],
+                "kf_attn": attn_out.reshape(kf, 3, s, dim).transpose(
+                    1, 0, 2, 3
+                ),
             }
         elif mode == editctx.EditMode.PROPAGATE:
             f = edit.n_frames
             o3 = token_propagation(
-                h_norm.reshape(3, f, s, dim)[0],
+                h_norm.reshape(f, 3, s, dim)[:, 0],
                 edit.pivot_h,
                 edit.kf_attn,
                 edit.prop_pa,
                 edit.prop_pb,
                 edit.prop_w1,
             )
-            attn_out = o3.reshape(b, s, dim).astype(self.dtype)
+            attn_out = (
+                o3.transpose(1, 0, 2, 3).reshape(b, s, dim)
+            ).astype(self.dtype)
         elif mode == editctx.EditMode.FUSED:
-            # per stream: [K pivots | F frames]; pivots run extended
-            # attention producing this site's cache, frames propagate
-            # from it — one batch, same math as the two-pass form
+            # batch = [3*kf pivots | 3*f frames], each segment frame-major;
+            # pivots run extended attention producing this site's cache,
+            # frames propagate from it — one batch, same math as two-pass
             kf, f = edit.n_pivots, edit.n_frames
-            h3 = h_norm.reshape(3, kf + f, s, dim)
-            hp, hq = h3[:, :kf], h3[:, kf:]
+            h3 = h_norm.reshape(kf + f, 3, s, dim)
+            hp = h3[:kf].transpose(1, 0, 2, 3)  # (3, kf, s, dim)
+            hq = h3[kf:]  # (f, 3, s, dim)
             q, k, v = self.attn1.qkv(hp.reshape(3 * kf, s, dim))
             q3, k3, v3 = (p.reshape(3, kf, s, -1) for p in (q, k, v))
             if edit.qk_inject_site:
@@ -238,11 +254,15 @@ class BasicTransformerBlock(nn.Module):
                 3, kf, s, dim
             )
             oq = token_propagation(
-                hq[0], hp[0], kf_attn,
+                hq[:, 0], hp[0], kf_attn,
                 edit.prop_pa, edit.prop_pb, edit.prop_w1,
             ).astype(self.dtype)
-            attn_out = jnp.concatenate([kf_attn, oq], axis=1).reshape(
-                b, s, dim
+            attn_out = jnp.concatenate(
+                [
+                    kf_attn.transpose(1, 0, 2, 3).reshape(3 * kf, s, dim),
+                    oq.transpose(1, 0, 2, 3).reshape(3 * f, s, dim),
+                ],
+                axis=0,
             )
         else:
             raise ValueError(f"unknown edit mode {mode!r}")
@@ -338,9 +358,10 @@ class ResnetBlock2D(nn.Module):
         h = nn.Conv(self.out_channels, (3, 3), name="conv2", **common)(h)
 
         if edit is not None and edit.gate is not None:
+            # frame-major batch: (f, 3, ...) view, stream axis is axis 1
             f = edit.n_frames
-            h3 = h.reshape(3, f, *h.shape[1:])
-            src = jnp.broadcast_to(h3[:1], h3.shape)
+            h3 = h.reshape(f, 3, *h.shape[1:])
+            src = jnp.broadcast_to(h3[:, :1], h3.shape)
             h = jnp.where(edit.gate, src, h3).reshape(h.shape)
 
         if x.shape[-1] != self.out_channels:

@@ -5,9 +5,15 @@ All TokenFlow editing state flows through these pytrees as explicit UNet
 arguments/returns — no monkey-patching, no side effects, fully jittable.
 
 Streams convention: editing passes run the UNet on a flattened batch of
-``3 * n_frames`` items laid out as [source | uncond | cond] (matching
-reference run_tokenflow_pnp.py:199), viewed as (3, n_frames, ...) inside the
-surgery ops.
+``3 * n_frames`` items laid out FRAME-MAJOR — item i = (frame i//3,
+stream i%3), streams ordered [source, uncond, cond]. Per-(frame, stream)
+math is identical to the reference's stream-major concat
+(run_tokenflow_pnp.py:199); the frame-major flattening is chosen because a
+frame-sharded batch axis then factors as (n_frames, 3) with no resharding,
+whereas a stream-major (3, n_frames) view of a frame-sharded axis is not an
+expressible HLO sharding and forces a full hidden-state all-gather at every
+edit site (measured: scripts/inspect_sharded_hlo.py). The surgery ops keep
+(3, n_frames, ...) stream-major VIEWS internally via cheap transposes.
 """
 
 from __future__ import annotations

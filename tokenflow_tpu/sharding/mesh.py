@@ -17,6 +17,18 @@ has a single ``frames`` axis. Per pass:
 
 Everything uses jit + NamedSharding annotations; XLA inserts the
 collectives. No NCCL/MPI analog exists or is needed.
+
+Verified against the compiled 8-device HLO (scripts/inspect_sharded_hlo.py,
+round 2): with the FRAME-MAJOR batch layout (ops/editctx.py) the entire
+edit step lowers to exactly four small all-reduces implementing the
+``x[piv]`` / ``src[piv]`` pivot gathers (a few hundred KB at 512p); GSPMD
+computes the pivotal pass replicated on every device — wall-clock
+equivalent to compute-once-plus-broadcast, and the cache is then born
+replicated, so the propagation pass runs fully frame-sharded (per-device
+batch = 3 * local_frames) with zero further communication. Round 1's
+stream-major layout instead forced a full hidden-state all-gather at
+every edit site per step (not an expressible sharding), which this layout
+eliminates.
 """
 
 from __future__ import annotations
