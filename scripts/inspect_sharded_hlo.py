@@ -70,6 +70,10 @@ def main():
     ap.add_argument("--window", type=int, default=2)
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--hw", type=int, default=16)
+    ap.add_argument(
+        "--shard-pivotal", action="store_true",
+        help="constrain the pivotal pass sharded (pipeline.PivotalShardings)",
+    )
     args = ap.parse_args()
 
     n_dev = len(jax.devices())
@@ -93,6 +97,7 @@ def main():
     loop = mesh_lib.sharded_edit_loop(
         stack.unet_apply, stack.unet_params, schedule, mesh,
         window_size=args.window, guidance_scale=7.5, pnp=True,
+        shard_pivotal=args.shard_pivotal,
     )
 
     rng = np.random.default_rng(0)

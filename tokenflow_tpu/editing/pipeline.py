@@ -41,6 +41,46 @@ UNetApply = Callable[..., tuple[jax.Array, dict]]
 
 
 @dataclasses.dataclass(frozen=True)
+class PivotalShardings:
+    """Sharding constraints making the pivotal pass compute sharded over the
+    keyframe axis on a frames mesh (SURVEY.md §2.12 sequence parallelism).
+
+    Without these, GSPMD computes the whole pivotal UNet pass replicated on
+    every device (the cache is consumed by all frame shards, and nothing
+    pins its producer) — wall-clock fine on one chip but Amdahl-limiting on
+    a mesh: at 8 devices the replicated pivotal pass is ~70% of the sharded
+    step. Constraining the pivotal batch (frame-major, so the (kf, 3)
+    factorization shards cleanly) and the cache keyframe axis makes GSPMD
+    shard the convs/FFs batch-parallel and turn extended attention into the
+    Ulysses-style pattern: queries stay keyframe-sharded, the flattened
+    keyframe K/V is all-gathered over ICI (the reference's KV concat,
+    tokenflow_utils.py:133-138, is the single-device analog). The keyframe
+    count need not divide the mesh (GSPMD pads odd shards internally).
+
+    ``batch``  applies to the (3*kf, h, w, c) pivotal input batch;
+    ``pivot_h`` to each site's (kf, s, d) cached source states;
+    ``kf_attn`` to each site's (3, kf, s, d) cached attention outputs.
+    """
+
+    batch: jax.sharding.Sharding
+    pivot_h: jax.sharding.Sharding
+    kf_attn: jax.sharding.Sharding
+
+    def constrain_cache(self, cache: dict) -> dict:
+        return {
+            site: {
+                "pivot_h": jax.lax.with_sharding_constraint(
+                    entry["pivot_h"], self.pivot_h
+                ),
+                "kf_attn": jax.lax.with_sharding_constraint(
+                    entry["kf_attn"], self.kf_attn
+                ),
+            }
+            for site, entry in cache.items()
+        }
+
+
+@dataclasses.dataclass(frozen=True)
 class EditSchedule:
     """Host-side per-step tables driving the edit scan."""
 
@@ -132,6 +172,7 @@ def tokenflow_sample_loop(
     controlnet_fn: Optional[Callable] = None,  # (sample,t,ctx,cond)->(down,mid)
     cond_image: Optional[jax.Array] = None,  # (F, H, W, 3) for controlnet_fn
     fused: bool = False,  # single-pass pivotal+propagation (EditMode.FUSED)
+    pivotal_shardings: Optional["PivotalShardings"] = None,
 ) -> jax.Array:
     """Run the full TokenFlow edit; returns denoised latents (F, h, w, 4)."""
     f_total = x_init.shape[0]
@@ -234,6 +275,10 @@ def tokenflow_sample_loop(
             _with_depth(x_piv, d_piv),
             _with_depth(x_piv, d_piv),
         )
+        if pivotal_shardings is not None:
+            sample_piv = jax.lax.with_sharding_constraint(
+                sample_piv, pivotal_shardings.batch
+            )
         edit_piv = editctx.UNetEdit(
             mode=editctx.EditMode.PIVOTAL,
             n_frames=n_windows,
@@ -250,6 +295,8 @@ def tokenflow_sample_loop(
                 None if cond_image is None else cond_image[piv],
             ),
         )
+        if pivotal_shardings is not None:
+            cache = pivotal_shardings.constrain_cache(cache)
 
         # ---- propagation pass over all frames (chunked)
         def prop_one(args):

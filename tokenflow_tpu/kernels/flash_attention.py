@@ -212,14 +212,20 @@ def flash_attention_pallas(
     v: jax.Array,
     *,
     scale: float | None = None,
-    bq: int = 1024,
-    bk: int = 1024,
+    bq: int | None = None,
+    bk: int | None = None,
     interpret: bool = False,
     use_exp2: bool | None = None,
     soft_bf16: bool | None = None,
 ) -> jax.Array:
+    import os
+
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
+    if bq is None:
+        bq = int(os.environ.get("TOKENFLOW_FLASH_BQ", "1024"))
+    if bk is None:
+        bk = int(os.environ.get("TOKENFLOW_FLASH_BK", "1024"))
     if use_exp2 is None:
         use_exp2 = _env_flag("TOKENFLOW_FLASH_EXP2", True)
     if soft_bf16 is None:

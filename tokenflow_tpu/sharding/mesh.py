@@ -20,7 +20,7 @@ collectives. No NCCL/MPI analog exists or is needed.
 
 Verified against the compiled 8-device HLO (scripts/inspect_sharded_hlo.py,
 round 2): with the FRAME-MAJOR batch layout (ops/editctx.py) the entire
-edit step lowers to exactly four small all-reduces implementing the
+edit step lowers to a single small all-reduce implementing the
 ``x[piv]`` / ``src[piv]`` pivot gathers (a few hundred KB at 512p); GSPMD
 computes the pivotal pass replicated on every device — wall-clock
 equivalent to compute-once-plus-broadcast, and the cache is then born
@@ -29,6 +29,22 @@ batch = 3 * local_frames) with zero further communication. Round 1's
 stream-major layout instead forced a full hidden-state all-gather at
 every edit site per step (not an expressible sharding), which this layout
 eliminates.
+
+``shard_pivotal=True`` additionally shards the keyframe pass itself
+(pivotal_shardings / pipeline.PivotalShardings): the replicated pivotal
+pass is wall-clock-fine on one chip but Amdahl-limits a mesh (at 8
+devices it would be ~70% of the sharded step). Compiled-HLO audit of the
+sharded-pivotal loop: all collectives are small all-gathers (the
+extended-attention KV flatten and the per-site cache broadcast — the
+Ulysses-style pattern of SURVEY.md §2.12) plus the same pivot all-reduce;
+no full-replication-sized collectives, and the keyframe count does not
+need to divide the mesh (GSPMD pads odd shards; parity tested for both
+even and uneven pivot counts, tests/test_sharding.py). Caveat: on real
+multi-chip hardware a pallas_call under GSPMD (without shard_map) is
+computed replicated, so sharded-pivotal runs should dispatch the jnp
+extended-attention path (TOKENFLOW_PALLAS_FLASH=0) until the kernel gets
+a manual partitioning spec; the propagation-pass kernels are per-shard
+batch-parallel and unaffected.
 """
 
 from __future__ import annotations
@@ -71,6 +87,20 @@ def check_divisible(n_frames: int, mesh: Mesh, window_size: int = 1) -> None:
         )
 
 
+def pivotal_shardings(mesh: Mesh):
+    """Sharding constraints that make the pivotal pass compute sharded over
+    keyframes (see pipeline.PivotalShardings). The cache leaves keep the
+    keyframe axis sharded; the propagation pass's per-site consumption
+    all-gathers them (once per site per step) over ICI."""
+    from tokenflow_tpu.editing import pipeline
+
+    return pipeline.PivotalShardings(
+        batch=NamedSharding(mesh, P(FRAMES)),
+        pivot_h=NamedSharding(mesh, P(FRAMES)),
+        kf_attn=NamedSharding(mesh, P(None, FRAMES)),
+    )
+
+
 def sharded_edit_loop(
     unet_apply,
     params,
@@ -81,19 +111,24 @@ def sharded_edit_loop(
     guidance_scale: float,
     pnp: bool,
     propagate_chunk: Optional[int] = None,
+    shard_pivotal: bool = False,
 ):
     """jit the TokenFlow edit loop over a frames mesh.
 
     Returns fn(params, x_init, traj, embeds3, rng) with x/traj sharded on
-    the frame axis and params/embeds replicated.
+    the frame axis and params/embeds replicated. ``shard_pivotal`` also
+    shards the keyframe pass over the mesh (see pivotal_shardings).
     """
     from tokenflow_tpu.editing import pipeline
+
+    psh = pivotal_shardings(mesh) if shard_pivotal else None
 
     def loop_fn(p, x0, traj, embeds3, rng):
         return pipeline.tokenflow_sample_loop(
             unet_apply, p, x0, traj, embeds3, schedule,
             window_size=window_size, guidance_scale=guidance_scale,
             pnp=pnp, rng=rng, propagate_chunk=propagate_chunk,
+            pivotal_shardings=psh,
         )
 
     fsh = frames_sharding(mesh)
