@@ -32,6 +32,8 @@ def main():
     f_total = int(os.environ.get("VS_FRAMES", "40"))
     hw = int(os.environ.get("VS_LATENT", "64"))
     window = int(os.environ.get("VS_WINDOW", "8"))
+    chunk_env = os.environ.get("VS_CHUNK", "")
+    chunk = int(chunk_env) if chunk_env else None
 
     mode = {
         k: os.environ.get(k, "unset")
@@ -67,7 +69,7 @@ def main():
         return pipeline.tokenflow_sample_loop(
             stack.unet_apply, params, x0, tr, e3, schedule,
             window_size=window, guidance_scale=7.5, pnp=True, rng=key,
-            fused=fused,
+            fused=fused, propagate_chunk=chunk,
         )
 
     loop = jax.jit(loop_fn)

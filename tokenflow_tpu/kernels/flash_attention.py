@@ -222,10 +222,13 @@ def flash_attention_pallas(
 
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
+    # defaults re-tuned round 2 (scripts/tpu_flash_tune.py + validate_scan):
+    # bq=1024/bk=2048 gives 53.5 TF/s at SD self-attn shapes (vs 52.3 at
+    # 1024/1024) and 0.986 s/step in the full edit scan (vs 1.003)
     if bq is None:
         bq = int(os.environ.get("TOKENFLOW_FLASH_BQ", "1024"))
     if bk is None:
-        bk = int(os.environ.get("TOKENFLOW_FLASH_BK", "1024"))
+        bk = int(os.environ.get("TOKENFLOW_FLASH_BK", "2048"))
     if use_exp2 is None:
         use_exp2 = _env_flag("TOKENFLOW_FLASH_EXP2", True)
     if soft_bf16 is None:

@@ -230,6 +230,117 @@ def convert_clip_text_state_dict(
 
 
 # ---------------------------------------------------------------------------
+# DPT depth estimator (MiDaS DPT_Large == HF Intel/dpt-large)
+# ---------------------------------------------------------------------------
+
+_DPT_RULES = [
+    (r"^dpt\.embeddings\.patch_embeddings\.projection\.", r"patch_embed."),
+    (r"^dpt\.encoder\.layer\.(\d+)\.layernorm_before\.", r"block_\1.norm1."),
+    (r"^dpt\.encoder\.layer\.(\d+)\.layernorm_after\.", r"block_\1.norm2."),
+    (
+        r"^dpt\.encoder\.layer\.(\d+)\.attention\.attention\.query\.",
+        r"block_\1.q.",
+    ),
+    (
+        r"^dpt\.encoder\.layer\.(\d+)\.attention\.attention\.key\.",
+        r"block_\1.k.",
+    ),
+    (
+        r"^dpt\.encoder\.layer\.(\d+)\.attention\.attention\.value\.",
+        r"block_\1.v.",
+    ),
+    (
+        r"^dpt\.encoder\.layer\.(\d+)\.attention\.output\.dense\.",
+        r"block_\1.proj.",
+    ),
+    (r"^dpt\.encoder\.layer\.(\d+)\.intermediate\.dense\.", r"block_\1.fc1."),
+    (r"^dpt\.encoder\.layer\.(\d+)\.output\.dense\.", r"block_\1.fc2."),
+    (
+        r"^neck\.reassemble_stage\.readout_projects\.(\d+)\.0\.",
+        r"reassemble_\1.readout.",
+    ),
+    (
+        r"^neck\.reassemble_stage\.layers\.(\d+)\.projection\.",
+        r"reassemble_\1.proj.",
+    ),
+    (
+        r"^neck\.reassemble_stage\.layers\.(\d+)\.resize\.",
+        r"reassemble_\1.resize.",
+    ),
+    (r"^neck\.convs\.(\d+)\.", r"neck_conv_\1."),
+    (r"^neck\.fusion_stage\.layers\.(\d+)\.projection\.", r"fusion_\1.proj."),
+    (
+        r"^neck\.fusion_stage\.layers\.(\d+)\.residual_layer(\d)\."
+        r"convolution(\d)\.",
+        r"fusion_\1.res\2.conv\3.",
+    ),
+    (r"^head\.head\.0\.", r"head_conv1."),
+    (r"^head\.head\.2\.", r"head_conv2."),
+    (r"^head\.head\.4\.", r"head_conv3."),
+]
+
+
+def convert_dpt_state_dict(
+    sd: dict[str, np.ndarray], config=None
+) -> dict[str, Any]:
+    """HF DPTForDepthEstimation state dict -> models.dpt.DPTDepthModel params.
+
+    The reference runs this model via torch.hub intel-isl/MiDaS DPT_Large
+    (preprocess.py:69-70); the identical weights ship on the HF hub as
+    Intel/dpt-large. ``config`` (models.dpt.DPTConfig) identifies which
+    reassemble stages use a transposed-conv resize (factor > 1): torch
+    ConvTranspose2d weights are (in, out, k, k) and map to the einsum
+    pixel-shuffle kernel (k, k, in, out) — NOT the regular conv transpose
+    (the in/out axes are swapped vs Conv2d's OIHW).
+
+    dpt.layernorm / dpt.pooler are skipped: the depth path consumes the raw
+    (pre-final-layernorm) block outputs (HF modeling_dpt
+    DPTForDepthEstimation.forward uses hidden_states[1:], untouched by
+    DPTModel.layernorm which only transforms last_hidden_state).
+    """
+    from tokenflow_tpu.models.dpt import DPTConfig
+
+    config = config or DPTConfig.dpt_large()
+    upsample_stages = {
+        i for i, f in enumerate(config.reassemble_factors) if f > 1
+    }
+    params: dict[str, Any] = {}
+    for key, w in sd.items():
+        if key == "dpt.embeddings.cls_token":
+            params["cls_token"] = w
+            continue
+        if key == "dpt.embeddings.position_embeddings":
+            params["pos_embed"] = w
+            continue
+        if key.startswith(("dpt.layernorm.", "dpt.pooler.")):
+            continue
+        if key.startswith("neck.fusion_stage.layers.0.residual_layer1."):
+            # the first fusion layer (deepest feature) never receives a
+            # residual; HF instantiates the unit anyway but never calls it
+            continue
+        new = _apply_rules(key, _DPT_RULES)
+        parts = new.split(".")
+        m = re.match(r"reassemble_(\d+)$", parts[0])
+        if (
+            m
+            and parts[1] == "resize"
+            and int(m.group(1)) in upsample_stages
+        ):
+            if parts[-1] == "weight":
+                _insert(
+                    params,
+                    [parts[0], "resize_kernel"],
+                    w.transpose(2, 3, 0, 1),  # (in,out,k,k) -> (k,k,in,out)
+                )
+            else:
+                _insert(params, [parts[0], "resize_bias"], w)
+            continue
+        leaf_name, leaf = _leaf(parts[-1], w)
+        _insert(params, parts[:-1] + [leaf_name], leaf)
+    return params
+
+
+# ---------------------------------------------------------------------------
 # pretrained-directory loading (diffusers layout)
 # ---------------------------------------------------------------------------
 
