@@ -115,6 +115,55 @@ def test_pnp_edit_e2e(inverted, tmp_path):
 
 
 @pytest.mark.slow
+def test_pnp_edit_e2e_data_parallel(inverted):
+    """Same edit through the CLI with the frames mesh engaged
+    (data_parallel: 2 -> 2 frames/device incl. the sharded pivotal pass);
+    must produce identical artifacts to a single-device run."""
+    workdir, _ = inverted
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        config = {
+            "seed": 1,
+            "device": "cpu",
+            "output_path": "results_dp",
+            "data_path": "data/clip",
+            "latents_path": "latents",
+            "n_inversion_steps": STEPS,
+            "n_frames": F,
+            "sd_version": "tiny",
+            "guidance_scale": 7.5,
+            "n_timesteps": N_TIMESTEPS,
+            "prompt": "a stylized test clip",
+            "negative_prompt": "ugly",
+            "batch_size": 2,
+            "pnp_attn_t": 0.5,
+            "pnp_f_t": 0.8,
+            "image_size": HW,
+            "data_parallel": 2,
+        }
+        config = run_pnp.resolve_output_path(config)
+        os.makedirs(config["output_path"], exist_ok=True)
+        from tokenflow_tpu.cli.common import dump_config
+
+        dump_config(config)
+        decoded_dp = run_pnp.edit_video(config)
+        assert decoded_dp.shape == (F, HW, HW, 3)
+        assert np.isfinite(decoded_dp).all()
+
+        single = dict(config, data_parallel="off", output_path="results_1dev")
+        single = run_pnp.resolve_output_path(single)
+        os.makedirs(single["output_path"], exist_ok=True)
+        dump_config(single)
+        decoded_1 = run_pnp.edit_video(single)
+        np.testing.assert_allclose(
+            decoded_dp, decoded_1, rtol=2e-4, atol=2e-4
+        )
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.slow
 def test_sdedit_edit_e2e(inverted):
     workdir, _ = inverted
     cwd = os.getcwd()

@@ -63,6 +63,43 @@ def load_config(config_path: str) -> dict:
         return yaml.safe_load(f)
 
 
+def maybe_frames_mesh(config: dict, n_frames: int, window_size: int):
+    """Build the frames mesh for the editors when multi-device execution is
+    available and applicable (extension key ``data_parallel``: 'auto'
+    [default] = all local devices, N = first N, 'off' = single-device).
+
+    Gracefully falls back to single-device when the device count is 1 or
+    the frame count doesn't factor over the mesh (the reference is strictly
+    single-GPU, SURVEY.md §2.12, so every multi-chip behavior is an
+    extension and must never break a single-chip run).
+    """
+    import jax
+
+    dp = config.get("data_parallel", "auto")
+    if dp in ("off", "0", 0, False, None):
+        return None
+    devs = jax.devices()
+    n = len(devs) if dp == "auto" else min(int(dp), len(devs))
+    if n <= 1:
+        return None
+    from tokenflow_tpu.sharding import mesh as mesh_lib
+
+    mesh = mesh_lib.make_frames_mesh(n)
+    try:
+        mesh_lib.check_divisible(n_frames, mesh, window_size)
+    except ValueError as e:
+        print(
+            f"[tokenflow-tpu] data_parallel disabled: {e} "
+            f"(set data_parallel: off to silence)"
+        )
+        return None
+    print(
+        f"[tokenflow-tpu] frames mesh over {n} devices "
+        f"({n_frames // n} frames/device)"
+    )
+    return mesh
+
+
 def dump_config(config: dict) -> None:
     os.makedirs(config["output_path"], exist_ok=True)
     with open(os.path.join(config["output_path"], "config.yaml"), "w") as f:

@@ -53,6 +53,15 @@ def edit_video(config: dict) -> np.ndarray:
             )
         )
 
+    mesh = common.maybe_frames_mesh(
+        config, config["n_frames"], config["batch_size"]
+    )
+    pivotal_shardings = None
+    if mesh is not None and config.get("shard_pivotal", True):
+        from tokenflow_tpu.sharding import mesh as mesh_lib
+
+        pivotal_shardings = mesh_lib.pivotal_shardings(mesh)
+
     def loop_fn(params, x0, traj, embeds3, rng, depth):
         return pipeline.tokenflow_sample_loop(
             data.stack.unet_apply,
@@ -68,12 +77,31 @@ def edit_video(config: dict) -> np.ndarray:
             depth=depth,
             propagate_chunk=config.get("propagate_chunk"),
             fused=config.get("fused_step", False),
+            pivotal_shardings=pivotal_shardings,
         )
 
     from tokenflow_tpu import profiling
 
     metrics = profiling.PhaseMetrics()
-    loop = jax.jit(loop_fn)
+    if mesh is None:
+        loop = jax.jit(loop_fn)
+    else:
+        from tokenflow_tpu.sharding import mesh as mesh_lib
+
+        fsh = mesh_lib.frames_sharding(mesh)
+        repl = mesh_lib.replicated(mesh)
+        loop = jax.jit(
+            loop_fn,
+            in_shardings=(
+                jax.tree.map(lambda _: repl, data.stack.unet_params),
+                fsh,
+                mesh_lib.frames_sharding(mesh, frame_axis=1),
+                repl,
+                repl,
+                None if depth is None else fsh,
+            ),
+            out_shardings=fsh,
+        )
     with profiling.trace(os.environ.get("TOKENFLOW_TRACE_DIR")):
         with metrics.phase("edit_loop"), utils.Timer() as t_edit:
             latents_out = loop(

@@ -87,6 +87,15 @@ def edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
         print("Done!")
         return decoded
 
+    mesh = common.maybe_frames_mesh(
+        config, config["n_frames"], config["batch_size"]
+    )
+    pivotal_shardings = None
+    if mesh is not None and config.get("shard_pivotal", True):
+        from tokenflow_tpu.sharding import mesh as mesh_lib
+
+        pivotal_shardings = mesh_lib.pivotal_shardings(mesh)
+
     def loop_fn(params, x0, traj, embeds3, rng):
         return pipeline.tokenflow_sample_loop(
             data.stack.unet_apply,
@@ -101,9 +110,27 @@ def edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
             rng=rng,
             propagate_chunk=config.get("propagate_chunk"),
             fused=config.get("fused_step", False),
+            pivotal_shardings=pivotal_shardings,
         )
 
-    loop = jax.jit(loop_fn)
+    if mesh is None:
+        loop = jax.jit(loop_fn)
+    else:
+        from tokenflow_tpu.sharding import mesh as mesh_lib
+
+        fsh = mesh_lib.frames_sharding(mesh)
+        repl = mesh_lib.replicated(mesh)
+        loop = jax.jit(
+            loop_fn,
+            in_shardings=(
+                jax.tree.map(lambda _: repl, data.stack.unet_params),
+                fsh,
+                mesh_lib.frames_sharding(mesh, frame_axis=1),
+                repl,
+                repl,
+            ),
+            out_shardings=fsh,
+        )
     with utils.Timer() as t_edit:
         latents_out = loop(
             data.stack.unet_params,
