@@ -39,8 +39,10 @@ def main():
 
     # BASELINE config 5: woman-running.mp4, 120 frames, 768p -> 96x96
     # latents, window 8 -> 15 pivots (uneven over 8 devices), 50 steps
-    # (reduced to 2 here; the scan is per-step homogeneous).
-    f_total, hw, window, steps = 120, 96, 8, 2
+    # (reduced to 1 here — the scan is per-step homogeneous, and the
+    # single-host harness executes all 8 virtual devices on one core).
+    f_total, hw, window = 120, 96, 8
+    steps = int(os.environ.get("C5_STEPS", "1"))
 
     stack = runtime.load_stack(
         "tiny", init="random", dtype=jnp.float32, param_dtype=jnp.float32
@@ -74,29 +76,32 @@ def main():
     mesh = mesh_lib.make_frames_mesh(8)
     mesh_lib.check_divisible(f_total, mesh, window)
 
-    for shard_pivotal in (False, True):
-        t0 = time.perf_counter()
-        loop = mesh_lib.sharded_edit_loop(
-            stack.unet_apply, stack.unet_params, schedule, mesh,
-            window_size=window, guidance_scale=7.5, pnp=True,
-            shard_pivotal=shard_pivotal,
-        )
-        out = loop(stack.unet_params, x0, traj, e3, key)
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
-        err = float(jnp.max(jnp.abs(out - single)))
-        ok = err < 5e-5
-        print(
-            f"8-device mesh shard_pivotal={shard_pivotal}: {dt:.1f}s "
-            f"max|err|={err:.2e} {'OK' if ok else 'MISMATCH'}",
-            flush=True,
-        )
-        if not ok:
-            raise SystemExit(1)
+    # production mesh config: frames sharded + pivotal pass sharded (the
+    # replicated-pivotal variant is covered at smaller size by
+    # tests/test_sharding.py; one variant keeps this single-core run
+    # within budget)
+    t0 = time.perf_counter()
+    loop = mesh_lib.sharded_edit_loop(
+        stack.unet_apply, stack.unet_params, schedule, mesh,
+        window_size=window, guidance_scale=7.5, pnp=True,
+        shard_pivotal=True,
+    )
+    out = loop(stack.unet_params, x0, traj, e3, key)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    err = float(jnp.max(jnp.abs(out - single)))
+    ok = err < 5e-5
+    print(
+        f"8-device mesh shard_pivotal=True: {dt:.1f}s "
+        f"max|err|={err:.2e} {'OK' if ok else 'MISMATCH'}",
+        flush=True,
+    )
+    if not ok:
+        raise SystemExit(1)
 
     print(
         "CONFIG5-MESH-OK: 120 frames @ 96x96 latents, window 8 (15 pivots "
-        "over 8 devices), sharded == single-device, both pivotal modes"
+        "over 8 devices), sharded-pivotal == single-device"
     )
 
 

@@ -230,6 +230,60 @@ def convert_clip_text_state_dict(
 
 
 # ---------------------------------------------------------------------------
+# CLIP vision tower / full CLIPModel (CLIP-score metrics)
+# ---------------------------------------------------------------------------
+
+_CLIP_VISION_RULES = [
+    (r"^vision_model\.embeddings\.patch_embedding\.", r"patch_embed."),
+    (r"^vision_model\.pre_layrnorm\.", r"pre_layernorm."),  # HF typo
+    (r"^vision_model\.post_layernorm\.", r"post_layernorm."),
+    (r"^vision_model\.encoder\.layers\.(\d+)\.", r"layer_\1."),
+    (r"self_attn\.", r""),
+    (r"mlp\.", r""),
+]
+
+
+def convert_clip_vision_state_dict(
+    sd: dict[str, np.ndarray]
+) -> dict[str, Any]:
+    """HF CLIPVisionModel/CLIPModel vision_model.* -> CLIPVisionModel params."""
+    params: dict[str, Any] = {}
+    for key, w in sd.items():
+        if not key.startswith("vision_model."):
+            continue
+        if key.endswith("position_ids"):
+            continue
+        if key == "vision_model.embeddings.class_embedding":
+            params["class_embedding"] = w
+            continue
+        if key == "vision_model.embeddings.position_embedding.weight":
+            params["position_embedding"] = w
+            continue
+        new = _apply_rules(key, _CLIP_VISION_RULES)
+        parts = new.split(".")
+        leaf_name, leaf = _leaf(parts[-1], w)
+        _insert(params, parts[:-1] + [leaf_name], leaf)
+    return params
+
+
+def convert_clip_model_state_dict(
+    sd: dict[str, np.ndarray]
+) -> dict[str, Any]:
+    """HF CLIPModel -> models.clip_vision.CLIPScorer params (both towers
+    plus the no-bias projection heads; logit_scale is not needed for the
+    cosine-based CLIP-score)."""
+    text_sd = {
+        k: v for k, v in sd.items() if k.startswith("text_model.")
+    }
+    return {
+        "vision": convert_clip_vision_state_dict(sd),
+        "text": convert_clip_text_state_dict(text_sd),
+        "visual_projection": {"kernel": sd["visual_projection.weight"].T},
+        "text_projection": {"kernel": sd["text_projection.weight"].T},
+    }
+
+
+# ---------------------------------------------------------------------------
 # DPT depth estimator (MiDaS DPT_Large == HF Intel/dpt-large)
 # ---------------------------------------------------------------------------
 
