@@ -22,6 +22,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# persistent compile cache: the 120-frame loops compile for tens of
+# minutes on the single host core; reruns should pay execution only
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu")
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +50,7 @@ def main():
     stack = runtime.load_stack(
         "tiny", init="random", dtype=jnp.float32, param_dtype=jnp.float32
     )
+    print("stack loaded", flush=True)
     ctx_dim = stack.unet.config.cross_attention_dim
     sched = ddim.make_schedule(steps)
     save_ts = sched.timesteps[::-1].copy()

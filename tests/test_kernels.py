@@ -1,6 +1,7 @@
 """Pallas kernel tests (interpret mode on CPU; real-hardware runs are
 covered by the `tpu`-marked variants)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -171,3 +172,73 @@ def test_token_match_split_matches_jnp_interpret():
         bq_match=128, bz=128, bq_gather=128, interpret=True,
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("act", [None, "silu"])
+@pytest.mark.parametrize("layout", ["bl", "cl"])
+def test_group_norm_pallas_matches_ref_interpret(act, layout):
+    from tokenflow_tpu.kernels.group_norm import (
+        group_norm_nhwc,
+        group_norm_ref,
+    )
+
+    rng = np.random.default_rng(3)
+    b, hh, ww, c, g = 3, 8, 8, 32, 8
+    x = jnp.asarray(rng.standard_normal((b, hh, ww, c)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    ref = group_norm_ref(
+        x.reshape(b, -1, c), scale, bias, groups=g, eps=1e-5, act=act
+    ).reshape(x.shape)
+    out = group_norm_nhwc(
+        x, scale, bias, groups=g, eps=1e-5, act=act, layout=layout,
+        interpret=True,
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_group_norm_pallas_bf16_chunked_interpret():
+    """Multi-chunk S accumulation (grid > 1) in bf16."""
+    from tokenflow_tpu.kernels import group_norm as gn
+
+    rng = np.random.default_rng(4)
+    b, hh, ww, c, g = 2, 16, 16, 96, 32
+    x = jnp.asarray(rng.standard_normal((b, hh, ww, c)), jnp.bfloat16)
+    scale = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    ref = gn.group_norm_ref(
+        x.reshape(b, -1, c), scale, bias, groups=g, eps=1e-6, act="silu"
+    ).reshape(x.shape)
+    old = gn._BLOCK_BUDGET_BYTES
+    gn._BLOCK_BUDGET_BYTES = 64 * 96 * 2 * 2  # force s_chunk=2 < S=256
+    try:
+        out = gn.group_norm_nhwc(
+            x, scale, bias, groups=g, eps=1e-6, act="silu", interpret=True
+        )
+    finally:
+        gn._BLOCK_BUDGET_BYTES = old
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_fused_group_norm_matches_flax_groupnorm():
+    """FusedGroupNorm (jnp path) == flax nn.GroupNorm + silu, same params."""
+    from flax import linen as nn
+
+    from tokenflow_tpu.models.layers import FusedGroupNorm
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.float32)
+    fused = FusedGroupNorm(groups=8, eps=1e-5, act="silu")
+    params = fused.init(jax.random.PRNGKey(0), x)
+    params = jax.tree.map(
+        lambda p: jnp.asarray(rng.standard_normal(p.shape), p.dtype), params
+    )
+    ours = fused.apply(params, x)
+    ref_mod = nn.GroupNorm(num_groups=8, epsilon=1e-5)
+    theirs = nn.silu(ref_mod.apply(params, x))
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(theirs), rtol=2e-5, atol=2e-5
+    )

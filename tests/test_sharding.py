@@ -162,5 +162,7 @@ def test_check_divisible_errors():
     m = mesh_lib.make_frames_mesh(8)
     with pytest.raises(ValueError, match="divide"):
         mesh_lib.check_divisible(12, m)
-    with pytest.raises(ValueError, match="window_size"):
-        mesh_lib.check_divisible(8, m, window_size=2)
+    # window misalignment is a perf warning, not an error (BASELINE
+    # config 5: 120 frames / 8 devices / window 8 straddles shards)
+    assert mesh_lib.check_divisible(8, m, window_size=2) is False
+    assert mesh_lib.check_divisible(16, m, window_size=2) is True

@@ -97,6 +97,15 @@ def maybe_frames_mesh(config: dict, n_frames: int, window_size: int):
         f"[tokenflow-tpu] frames mesh over {n} devices "
         f"({n_frames // n} frames/device)"
     )
+    # A pallas_call under GSPMD (without a manual partitioning spec) is
+    # computed REPLICATED on every device (sharding/mesh.py caveat) —
+    # correct but wasteful. Under a mesh, default the kernels whose
+    # operands are mesh-sharded to their shardable jnp paths: GroupNorm
+    # (inside every UNet block) and, with the sharded pivotal pass, flash
+    # attention. Explicit env settings win (setdefault).
+    os.environ.setdefault("TOKENFLOW_PALLAS_GN", "0")
+    if config.get("shard_pivotal", True):
+        os.environ.setdefault("TOKENFLOW_PALLAS_FLASH", "0")
     return mesh
 
 

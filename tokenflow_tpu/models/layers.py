@@ -47,6 +47,66 @@ def norm_dtype():
     )
 
 
+class FusedGroupNorm(nn.Module):
+    """GroupNorm with optional fused SiLU and a Pallas fast path.
+
+    Param layout ("scale"/"bias", shape (C,)) is identical to
+    flax.linen.GroupNorm so checkpoints and the HF weight converter are
+    unaffected. On TPU (ops.attention.use_pallas('gn'), knob
+    TOKENFLOW_PALLAS_GN) eligible sites run the layout-matched Pallas
+    kernels (kernels/group_norm.py) — stats + apply at HBM-bandwidth
+    speed-of-light with bitcast (not copy) transposes into the convs'
+    physical layouts; XLA's native lowering measured ~30% of the
+    edit-step device time (scripts/tpu_profile_step.py). Stats are fp32
+    on both paths (TOKENFLOW_NORM_DTYPE only affects the jnp fallback,
+    matching the previous nn.GroupNorm behavior).
+    """
+
+    groups: int = 32
+    eps: float = 1e-5
+    act: Optional[str] = None
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
+        from tokenflow_tpu.kernels import group_norm as gn
+
+        c = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones, (c,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (c,), self.param_dtype
+        )
+        # EXPLICIT opt-in (not auto like flash/match): measured in the
+        # full edit scan the kernel is net-neutral-to-negative (PERF.md
+        # round-2 GroupNorm study) because XLA already fuses the GN apply
+        # into the consuming conv; the kernel remains available for
+        # contexts with different fusion structure.
+        if os.environ.get("TOKENFLOW_PALLAS_GN") == "1" and gn.fits_vmem(
+            x.shape, x.dtype.itemsize
+        ):
+            y = gn.group_norm_nhwc(
+                x, scale, bias, groups=self.groups, eps=self.eps,
+                act=self.act,
+            )
+        else:
+            # bit-identical to the pre-FusedGroupNorm nn.GroupNorm path
+            # (a reformulated jnp mirror drifts ~1ulp, which flips NN-match
+            # argmax indices in the chaotic tiny-stack parity tests)
+            y = nn.GroupNorm(
+                num_groups=self.groups, epsilon=self.eps,
+                dtype=norm_dtype(), param_dtype=self.param_dtype,
+                parent=None,
+            ).apply({"params": {"scale": scale, "bias": bias}}, x)
+            if self.act == "silu":
+                y = nn.silu(y)
+        return y.astype(self.dtype)
+
+
 def timestep_embedding(
     timesteps: jax.Array,
     dim: int,
@@ -299,10 +359,10 @@ class Transformer2DModel(nn.Module):
         inner = self.heads * self.dim_head
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         residual = x
-        h = nn.GroupNorm(
-            num_groups=32, epsilon=1e-6, dtype=norm_dtype(),
+        h = FusedGroupNorm(
+            groups=32, eps=1e-6, dtype=self.dtype,
             param_dtype=self.param_dtype, name="norm",
-        )(x).astype(self.dtype)
+        )(x)
         if self.use_linear_projection:
             h = h.reshape(b, hh * ww, c)
             h = nn.Dense(inner, name="proj_in", **common)(h)
@@ -344,17 +404,17 @@ class ResnetBlock2D(nn.Module):
     ):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         gn = dict(
-            num_groups=self.groups, epsilon=self.eps, dtype=norm_dtype(),
-            param_dtype=self.param_dtype,
+            groups=self.groups, eps=self.eps, act="silu",
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )
-        h = nn.silu(nn.GroupNorm(name="norm1", **gn)(x)).astype(self.dtype)
+        h = FusedGroupNorm(name="norm1", **gn)(x)
         h = nn.Conv(self.out_channels, (3, 3), name="conv1", **common)(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(
                 self.out_channels, name="time_emb_proj", **common
             )(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.silu(nn.GroupNorm(name="norm2", **gn)(h)).astype(self.dtype)
+        h = FusedGroupNorm(name="norm2", **gn)(h)
         h = nn.Conv(self.out_channels, (3, 3), name="conv2", **common)(h)
 
         if edit is not None and edit.gate is not None:

@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tokenflow_tpu.models.layers import (
-    norm_dtype,
     Downsample2D,
+    FusedGroupNorm,
     ResnetBlock2D,
     TimestepEmbedding,
     Transformer2DModel,
@@ -200,10 +200,9 @@ class UNet2DConditionModel(nn.Module):
             if i < n_levels - 1:
                 h = Upsample2D(rev[i], name=f"up_{i}_upsample", **common)(h)
 
-        h = nn.GroupNorm(
-            num_groups=32, epsilon=cfg.norm_eps, dtype=norm_dtype(),
+        h = FusedGroupNorm(
+            groups=32, eps=cfg.norm_eps, act="silu", dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv_norm_out",
         )(h)
-        h = nn.silu(h).astype(self.dtype)
         eps = nn.Conv(cfg.out_channels, (3, 3), name="conv_out", **common)(h)
         return eps, cache

@@ -17,8 +17,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tokenflow_tpu.models.layers import (
-    norm_dtype,
     Downsample2D,
+    FusedGroupNorm,
     ResnetBlock2D,
     Upsample2D,
 )
@@ -60,10 +60,10 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         b, hh, ww, c = x.shape
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        h = nn.GroupNorm(
-            num_groups=self.groups, epsilon=self.eps, dtype=norm_dtype(),
+        h = FusedGroupNorm(
+            groups=self.groups, eps=self.eps, dtype=self.dtype,
             param_dtype=self.param_dtype, name="group_norm",
-        )(x).astype(self.dtype)
+        )(x)
         h = h.reshape(b, hh * ww, c)
         q = nn.Dense(c, name="to_q", **common)(h)
         k = nn.Dense(c, name="to_k", **common)(h)
@@ -111,12 +111,11 @@ class Encoder(nn.Module):
             name="mid_attn", **common,
         )(h)
         h = resnet(ch, "mid_res_1")(h)
-        h = nn.GroupNorm(
-            num_groups=cfg.norm_groups, epsilon=cfg.norm_eps,
-            dtype=norm_dtype(), param_dtype=self.param_dtype,
+        h = FusedGroupNorm(
+            groups=cfg.norm_groups, eps=cfg.norm_eps, act="silu",
+            dtype=self.dtype, param_dtype=self.param_dtype,
             name="conv_norm_out",
         )(h)
-        h = nn.silu(h).astype(self.dtype)
         return nn.Conv(
             2 * cfg.latent_channels, (3, 3), name="conv_out", **common
         )(h)
@@ -154,12 +153,11 @@ class Decoder(nn.Module):
                 h = resnet(ch, f"up_{i}_res_{j}")(h)
             if i < n - 1:
                 h = Upsample2D(ch, name=f"up_{i}_upsample", **common)(h)
-        h = nn.GroupNorm(
-            num_groups=cfg.norm_groups, epsilon=cfg.norm_eps,
-            dtype=norm_dtype(), param_dtype=self.param_dtype,
+        h = FusedGroupNorm(
+            groups=cfg.norm_groups, eps=cfg.norm_eps, act="silu",
+            dtype=self.dtype, param_dtype=self.param_dtype,
             name="conv_norm_out",
         )(h)
-        h = nn.silu(h).astype(self.dtype)
         return nn.Conv(
             cfg.out_channels, (3, 3), name="conv_out", **common
         )(h)

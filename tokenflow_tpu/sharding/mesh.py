@@ -73,7 +73,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def check_divisible(n_frames: int, mesh: Mesh, window_size: int = 1) -> None:
+def check_divisible(n_frames: int, mesh: Mesh, window_size: int = 1) -> bool:
+    """Validate the frame axis factors over the mesh.
+
+    Frame-count indivisibility is an error (GSPMD padding of the batch
+    axis changes the windows the editing math sees). Window-boundary
+    locality is a PERFORMANCE property, not a correctness one — BASELINE
+    config 5 itself (120 frames / v5e-8 / window 8 -> 15 frames/device)
+    cannot be window-local, and GSPMD simply inserts boundary gathers for
+    the straddling windows — so misalignment warns and returns False.
+    """
     n_dev = mesh.devices.size
     if n_frames % n_dev:
         raise ValueError(
@@ -81,10 +90,14 @@ def check_divisible(n_frames: int, mesh: Mesh, window_size: int = 1) -> None:
         )
     per_dev = n_frames // n_dev
     if window_size > 1 and per_dev % window_size:
-        raise ValueError(
-            f"frames/device={per_dev} must be a multiple of "
-            f"window_size={window_size} so propagation windows stay local"
+        print(
+            f"[tokenflow-tpu] frames/device={per_dev} is not a multiple of "
+            f"window_size={window_size}: propagation windows straddle "
+            f"shards (correct, small boundary collectives)",
+            flush=True,
         )
+        return False
+    return True
 
 
 def pivotal_shardings(mesh: Mesh):
