@@ -242,3 +242,92 @@ def test_fused_group_norm_matches_flax_groupnorm():
     np.testing.assert_allclose(
         np.asarray(ours), np.asarray(theirs), rtol=2e-5, atol=2e-5
     )
+
+
+def test_flash_sharded_custom_partitioning():
+    """flash_attention_sharded under an 8-device mesh: matches sdp, and
+    the lowered HLO shows the kernel computing on the LOCAL query shard
+    (not replicated — the point of the custom_partitioning rule)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tokenflow_tpu.kernels.flash_attention import (
+        flash_attention_sharded,
+    )
+    from tokenflow_tpu.ops.attention import sdp_attention
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU harness")
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("frames",))
+
+    rng = np.random.default_rng(7)
+    b, sq, skv, h, d = 2, 128, 64, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+
+    qsh = NamedSharding(mesh, P(None, "frames"))
+    repl = NamedSharding(mesh, P())
+    fn = jax.jit(
+        lambda q, k, v: flash_attention_sharded(q, k, v, interpret=True),
+        in_shardings=(qsh, repl, repl),
+    )
+    ref = sdp_attention(q, k, v)
+    out = fn(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+    # per-device query length must appear in the partitioned module
+    txt = fn.lower(q, k, v).compile().as_text()
+    local = f"f32[{b},{sq // 8},{h},{d}]"
+    assert local in txt, f"expected local shard shape {local} in HLO"
+
+
+def test_token_match_sharded_custom_partitioning():
+    """token_match_gather_sharded on an 8-device frames mesh: matches the
+    jnp reference and computes on the LOCAL frame shard."""
+    import os
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tokenflow_tpu.kernels.token_match import (
+        token_match_gather_sharded,
+    )
+    from tokenflow_tpu.ops.propagation import (
+        propagation_indices,
+        token_propagation,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU harness")
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("frames",))
+
+    rng = np.random.default_rng(12)
+    f_total, ws, s, d, kf = 8, 2, 128, 16, 4
+    norm_h = jnp.asarray(rng.standard_normal((f_total, s, d)), jnp.float32)
+    pivot_h = jnp.asarray(rng.standard_normal((kf, s, d)), jnp.float32)
+    kf_attn = jnp.asarray(rng.standard_normal((3, kf, s, d)), jnp.float32)
+    pa, pb, w1 = (jnp.asarray(a) for a in propagation_indices(f_total, ws))
+
+    os.environ["TOKENFLOW_PALLAS"] = "0"
+    try:
+        ref = token_propagation(norm_h, pivot_h, kf_attn, pa, pb, w1)
+    finally:
+        del os.environ["TOKENFLOW_PALLAS"]
+
+    p32 = pivot_h.astype(jnp.float32)
+    p_hat = p32 / (jnp.linalg.norm(p32, axis=-1, keepdims=True) + 1e-12)
+    fsh = NamedSharding(mesh, P("frames"))
+    repl = NamedSharding(mesh, P())
+    fn = jax.jit(
+        lambda nh, ph, ka, a, b, w: token_match_gather_sharded(
+            nh, ph, ka, a, b, w, interpret=True
+        ),
+        in_shardings=(fsh, repl, repl, fsh, fsh, fsh),
+    )
+    out = fn(norm_h, p_hat, kf_attn, pa, pb, w1)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+    txt = fn.lower(norm_h, p_hat, kf_attn, pa, pb, w1).compile().as_text()
+    local = f"f32[{f_total // 8},{s},{d}]"
+    assert local in txt, f"expected local shard shape {local} in HLO"

@@ -97,15 +97,22 @@ def maybe_frames_mesh(config: dict, n_frames: int, window_size: int):
         f"[tokenflow-tpu] frames mesh over {n} devices "
         f"({n_frames // n} frames/device)"
     )
-    # A pallas_call under GSPMD (without a manual partitioning spec) is
-    # computed REPLICATED on every device (sharding/mesh.py caveat) —
-    # correct but wasteful. Under a mesh, default the kernels whose
-    # operands are mesh-sharded to their shardable jnp paths: GroupNorm
-    # (inside every UNet block) and, with the sharded pivotal pass, flash
-    # attention. Explicit env settings win (setdefault).
-    os.environ.setdefault("TOKENFLOW_PALLAS_GN", "0")
-    if config.get("shard_pivotal", True):
-        os.environ.setdefault("TOKENFLOW_PALLAS_FLASH", "0")
+    # A plain pallas_call under GSPMD (no partitioning rule) is computed
+    # REPLICATED on every device (sharding/mesh.py caveat) — correct but
+    # wasteful, so under a mesh the kernels default to their shardable
+    # jnp paths. The flash kernel carries a custom_partitioning rule
+    # (kernels/flash_attention.py::flash_attention_sharded) and stays on.
+    # Explicit env settings win (setdefault).
+    os.environ.setdefault("TOKENFLOW_PALLAS", "0")
+    if jax.default_backend() in ("tpu", "axon"):
+        # the flash + token-match kernels carry custom_partitioning rules
+        # (queries/frames sharded, K/V + keyframe tables gathered), so
+        # they stay on under the mesh; everything else runs its shardable
+        # jnp path (GroupNorm etc.)
+        os.environ.setdefault("TOKENFLOW_PALLAS_FLASH", "1")
+        os.environ.setdefault("TOKENFLOW_FLASH_SHARDED", "1")
+        os.environ.setdefault("TOKENFLOW_PALLAS_MATCH", "1")
+        os.environ.setdefault("TOKENFLOW_MATCH_SHARDED", "1")
     return mesh
 
 

@@ -206,6 +206,88 @@ def flash_attention_bhsd(
     return out[:, :, :sq]
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_flash(scale, bq, bk, use_exp2, soft_bf16, interpret):
+    """custom_partitioning wrapper: a plain pallas_call has no SPMD rule,
+    so GSPMD would all-gather every operand and compute the kernel
+    REPLICATED on each device of a mesh. This rule implements the Ulysses
+    pattern natively in the kernel: queries stay sharded (any of B/Sq/H —
+    under the sharded pivotal pass the keyframe axis lives flattened
+    inside Sq), K/V are all-gathered over the mesh, each device runs the
+    kernel on its query shard against the full K/V (exact: softmax rows
+    are independent), and the output inherits the query sharding."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _call(q, k, v):
+        return flash_attention_bhsd(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            scale=scale, bq=bq, bk=bk, interpret=interpret,
+            use_exp2=use_exp2, soft_bf16=soft_bf16,
+        ).transpose(0, 2, 1, 3)
+
+    fa = custom_partitioning(_call)
+
+    def _q_spec(arg_shape):
+        sh = getattr(arg_shape, "sharding", None)
+        spec = tuple(sh.spec) if isinstance(sh, NamedSharding) else ()
+        spec = spec + (None,) * (4 - len(spec))
+        # (B, Sq, H, D): keep B/Sq/H shardings, never shard head_dim
+        return PartitionSpec(spec[0], spec[1], spec[2], None)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, _q_spec(arg_shapes[0]))
+
+    def partition(mesh, arg_shapes, result_shape):
+        qspec = _q_spec(arg_shapes[0])
+        arg_shardings = (
+            NamedSharding(mesh, qspec),
+            NamedSharding(mesh, PartitionSpec()),  # K/V all-gathered
+            NamedSharding(mesh, PartitionSpec()),
+        )
+        return mesh, _call, NamedSharding(mesh, qspec), arg_shardings
+
+    fa.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        decode_shardings=True,
+        # Shardy path (default partitioner in this jax): queries shard on
+        # b/sq/h; skv and the lane dim must be replicated per device (the
+        # partitioner inserts the K/V all-gather)
+        sharding_rule="b sq h d, b skv h d, b skv h d -> b sq h d",
+        need_replication_factors=("d", "skv"),  # sorted by factor index
+    )
+    return fa
+
+
+def flash_attention_sharded(
+    q: jax.Array,  # (B, Sq, H, D) — framework layout
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Mesh-aware Pallas flash attention (see _sharded_flash). Engaged by
+    the dispatch when TOKENFLOW_FLASH_SHARDED=1 (set by the CLI when a
+    frames mesh is active); identical math to flash_attention_pallas."""
+    import os
+
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    fa = _sharded_flash(
+        scale,
+        int(os.environ.get("TOKENFLOW_FLASH_BQ", "1024")),
+        int(os.environ.get("TOKENFLOW_FLASH_BK", "2048")),
+        _env_flag("TOKENFLOW_FLASH_EXP2", True),
+        _env_flag("TOKENFLOW_FLASH_SOFT_BF16", False),
+        interpret,
+    )
+    return fa(q, k, v)
+
+
 def flash_attention_pallas(
     q: jax.Array,  # (B, Sq, H, D) — framework layout
     k: jax.Array,

@@ -178,3 +178,83 @@ def token_match_gather_pallas(
         kf_attn,
     )
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_match(interpret: bool):
+    """custom_partitioning wrapper for the match+gather kernels on a
+    frames mesh: the frame axis shards (norm_h and the per-frame pivot
+    index/weight vectors), the pivot/kf tables replicate (they are the
+    per-step keyframe cache every shard consumes), and each device runs
+    the kernel on its local frames — a plain pallas_call would instead be
+    computed fully replicated by GSPMD. Chooses the fused or split kernel
+    per shapes like the unsharded dispatch."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _call(norm_h, p_hat, kf_attn, pa, pb, w1):
+        s, d = norm_h.shape[1], norm_h.shape[2]
+        if fits_vmem(s, d):
+            return token_match_gather_pallas(
+                norm_h, p_hat, kf_attn, pa, pb, w1, interpret=interpret
+            )
+        from tokenflow_tpu.kernels.token_match_split import (
+            token_match_gather_split,
+        )
+
+        return token_match_gather_split(
+            norm_h, p_hat, kf_attn, pa, pb, w1, interpret=interpret
+        )
+
+    tm = custom_partitioning(_call)
+
+    def _f_axis(arg_shape):
+        sh = getattr(arg_shape, "sharding", None)
+        spec = tuple(sh.spec) if isinstance(sh, NamedSharding) else ()
+        return spec[0] if spec else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        f = _f_axis(arg_shapes[0])
+        return NamedSharding(mesh, PartitionSpec(None, f, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        f = _f_axis(arg_shapes[0])
+        fsh = PartitionSpec(f, None, None)
+        repl = PartitionSpec()
+        arg_shardings = (
+            NamedSharding(mesh, fsh),
+            NamedSharding(mesh, repl),
+            NamedSharding(mesh, repl),
+            NamedSharding(mesh, PartitionSpec(f)),
+            NamedSharding(mesh, PartitionSpec(f)),
+            NamedSharding(mesh, PartitionSpec(f)),
+        )
+        out_sh = NamedSharding(mesh, PartitionSpec(None, f, None, None))
+        return mesh, _call, out_sh, arg_shardings
+
+    tm.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        decode_shardings=True,
+        # factors by first appearance: f(0) s(1) d(2) k(3) z(4) t(5);
+        # only the frame axis may shard
+        sharding_rule="f s d, k z d, t k z d, f, f, f -> t f s d",
+        need_replication_factors=("s", "d", "k", "z", "t"),
+    )
+    return tm
+
+
+def token_match_gather_sharded(
+    norm_h_src: jax.Array,  # (F, S, D)
+    p_hat: jax.Array,  # (K, S, D)
+    kf_attn: jax.Array,  # (3, K, S, D)
+    pa: jax.Array,  # (F,)
+    pb: jax.Array,
+    w1: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Mesh-aware entry (TOKENFLOW_MATCH_SHARDED=1; see _sharded_match)."""
+    return _sharded_match(interpret)(
+        norm_h_src, p_hat, kf_attn, pa, pb, w1
+    )

@@ -107,6 +107,15 @@ def flash_attention(
         jnp.bfloat16,
         jnp.float32,
     ):
+        if os.environ.get("TOKENFLOW_FLASH_SHARDED") == "1":
+            # mesh-aware variant: carries a custom_partitioning rule so
+            # the kernel computes SHARDED under GSPMD (queries sharded,
+            # K/V gathered) instead of being replicated per device
+            from tokenflow_tpu.kernels.flash_attention import (
+                flash_attention_sharded,
+            )
+
+            return flash_attention_sharded(q, k, v, scale=scale)
         from tokenflow_tpu.kernels.flash_attention import (
             flash_attention_pallas,
         )

@@ -119,6 +119,8 @@ def token_propagation(
     from tokenflow_tpu.ops.attention import use_pallas
 
     if use_pallas("match") and s % 128 == 0 and d % 8 == 0:
+        import os
+
         from tokenflow_tpu.kernels.token_match import (
             fits_vmem,
             token_match_gather_pallas,
@@ -127,6 +129,22 @@ def token_propagation(
             token_match_gather_split,
         )
 
+        if os.environ.get("TOKENFLOW_MATCH_SHARDED") == "1":
+            # mesh-aware variant (custom_partitioning: frame axis shards,
+            # keyframe tables replicate) — a plain pallas_call under
+            # GSPMD would be computed replicated on every device
+            from tokenflow_tpu.kernels.token_match import (
+                token_match_gather_sharded,
+            )
+
+            return token_match_gather_sharded(
+                norm_h_src,
+                p_hat.astype(norm_h_src.dtype),
+                kf_attn,
+                pa_f,
+                pb_f,
+                w1,
+            )
         if fits_vmem(s, d):
             return token_match_gather_pallas(
                 norm_h_src,

@@ -39,12 +39,17 @@ extended-attention KV flatten and the per-site cache broadcast — the
 Ulysses-style pattern of SURVEY.md §2.12) plus the same pivot all-reduce;
 no full-replication-sized collectives, and the keyframe count does not
 need to divide the mesh (GSPMD pads odd shards; parity tested for both
-even and uneven pivot counts, tests/test_sharding.py). Caveat: on real
-multi-chip hardware a pallas_call under GSPMD (without shard_map) is
-computed replicated, so sharded-pivotal runs should dispatch the jnp
-extended-attention path (TOKENFLOW_PALLAS_FLASH=0) until the kernel gets
-a manual partitioning spec; the propagation-pass kernels are per-shard
-batch-parallel and unaffected.
+even and uneven pivot counts, tests/test_sharding.py).
+
+Pallas kernels on a mesh: a plain pallas_call has no SPMD rule, so GSPMD
+would compute it replicated on every device. The flash-attention and
+token-match kernels therefore carry custom_partitioning rules
+(kernels/flash_attention.py::flash_attention_sharded,
+kernels/token_match.py::token_match_gather_sharded — queries/frames stay
+sharded, K/V and keyframe tables are gathered), engaged via
+TOKENFLOW_FLASH_SHARDED / TOKENFLOW_MATCH_SHARDED (the CLI sets both on
+TPU meshes, cli/common.py::maybe_frames_mesh); kernels without a rule
+(GroupNorm) default to their shardable jnp paths under a mesh.
 """
 
 from __future__ import annotations
