@@ -30,6 +30,9 @@ def _cpu_test_env() -> dict:
     if "--xla_force_host_platform_device_count" not in flags:
         flags = (flags + " --xla_force_host_platform_device_count=8").strip()
     env["XLA_FLAGS"] = flags
+    # persistent compile cache: the full suite spends most of its ~30 min
+    # recompiling unchanged programs on the single host core
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu")
     return env
 
 
@@ -41,6 +44,7 @@ if os.environ.get("TOKENFLOW_TEST_TPU", "0") != "1" and not _want_reexec():
         os.environ["XLA_FLAGS"] = (
             _flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu")
 
 
 def pytest_configure(config):

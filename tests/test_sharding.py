@@ -77,6 +77,51 @@ def test_sharded_edit_loop_matches_single_device(tiny):
     )
 
 
+def test_sharded_loop_window_straddling_shards(tiny):
+    """BASELINE config-5 geometry class: frames/device NOT a multiple of
+    window_size (120/8 dev = 15, window 8). Windows straddling shard
+    boundaries must still match the single-device loop (GSPMD boundary
+    gathers) — check_divisible warns instead of raising for this."""
+    model, params, cfg, hw = tiny
+    n_dev, ws, steps = 8, 4, 2
+    f_total = 16  # 2 frames/device < window 4 -> every window straddles
+
+    sched = ddim.make_schedule(steps)
+    save_ts = sched.timesteps[::-1].copy()
+    schedule = pipeline.make_edit_schedule(
+        sched, save_ts, pnp_attn_t=0.5, pnp_f_t=0.8
+    )
+    rng = np.random.default_rng(3)
+    x_init = jnp.asarray(
+        rng.standard_normal((f_total, hw, hw, 4)), jnp.float32
+    )
+    traj = jnp.asarray(
+        rng.standard_normal((steps, f_total, hw, hw, 4)), jnp.float32
+    )
+    embeds3 = jnp.asarray(
+        rng.standard_normal((3, 7, cfg.cross_attention_dim)), jnp.float32
+    )
+    key = jax.random.PRNGKey(11)
+
+    def unet_apply(p, sample, t, ctx, edit, **kw):
+        return model.apply(p, sample, t, ctx, edit=edit, **kw)
+
+    single = pipeline.tokenflow_sample_loop(
+        unet_apply, params, x_init, traj, embeds3, schedule,
+        window_size=ws, guidance_scale=7.5, pnp=True, rng=key,
+    )
+    m = mesh_lib.make_frames_mesh(n_dev)
+    assert mesh_lib.check_divisible(f_total, m, ws) is False  # straddles
+    loop = mesh_lib.sharded_edit_loop(
+        unet_apply, params, schedule, m,
+        window_size=ws, guidance_scale=7.5, pnp=True,
+    )
+    sharded = loop(params, x_init, traj, embeds3, key)
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), rtol=5e-5, atol=5e-5
+    )
+
+
 @pytest.mark.parametrize("ws", [2, 4])
 def test_sharded_pivotal_pass_matches_single_device(tiny, ws):
     """shard_pivotal=True must not change outputs. ws=2 gives 8 pivots
