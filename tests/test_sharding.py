@@ -211,3 +211,33 @@ def test_check_divisible_errors():
     # config 5: 120 frames / 8 devices / window 8 straddles shards)
     assert mesh_lib.check_divisible(8, m, window_size=2) is False
     assert mesh_lib.check_divisible(16, m, window_size=2) is True
+
+
+def test_sharded_vae_decode_matches_single_device():
+    """decode_latents(mesh=...) — frames-DP VAE (SURVEY §2.12) — must
+    match the chunked single-device path."""
+    import jax.numpy as jnp
+
+    from tokenflow_tpu import runtime
+
+    stack = runtime.load_stack(
+        "tiny", init="random", dtype=jnp.float32, param_dtype=jnp.float32
+    )
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.standard_normal((8, 8, 8, 4)), jnp.float32)
+    single = stack.decode_latents(z, batch=3)
+    m = mesh_lib.make_frames_mesh(8)
+    sharded = stack.decode_latents(z, mesh=m)
+    assert sharded.sharding.is_equivalent_to(
+        mesh_lib.frames_sharding(m), sharded.ndim
+    )
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), rtol=2e-5, atol=2e-5
+    )
+    # encode path shares the machinery
+    frames = jnp.asarray(rng.uniform(0, 1, (8, 64, 64, 3)), jnp.float32)
+    e_single = stack.encode_frames(frames, batch=3)
+    e_sharded = stack.encode_frames(frames, mesh=m)
+    np.testing.assert_allclose(
+        np.asarray(e_single), np.asarray(e_sharded), rtol=2e-5, atol=2e-5
+    )

@@ -132,6 +132,7 @@ class EditorData:
     trajectory: latents_io.LatentTrajectory
     embeds3: Any  # (3, 77, D) [inv | uncond | cond]
     save_path: str  # nframes_* dir containing latents/
+    mesh: Any = None  # frames mesh when data_parallel is engaged
 
 
 def setup_editor(
@@ -223,7 +224,9 @@ def save_vae_recon(data: EditorData) -> None:
     """VAE round-trip sanity outputs (reference run_tokenflow_pnp.py:242-249)."""
     out = data.config["output_path"]
     decoded = np.asarray(
-        data.stack.decode_latents(data.latents, batch=VAE_BATCH_SIZE)
+        data.stack.decode_latents(
+            data.latents, batch=VAE_BATCH_SIZE, mesh=data.mesh
+        )
     )
     video_io.save_frames(decoded, os.path.join(out, "vae_recon"))
     for fps in (10, 20, 30):
@@ -239,7 +242,9 @@ def save_outputs(
     (reference run_tokenflow_pnp.py:259-261, 269-271)."""
     out = data.config["output_path"]
     decoded = np.asarray(
-        data.stack.decode_latents(latents_out, batch=VAE_BATCH_SIZE)
+        data.stack.decode_latents(
+            latents_out, batch=VAE_BATCH_SIZE, mesh=data.mesh
+        )
     )
     video_io.save_frames(decoded, os.path.join(out, "img_ode"))
     for fps in (10, 20, 30):

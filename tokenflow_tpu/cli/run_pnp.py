@@ -26,6 +26,9 @@ from tokenflow_tpu.editing import pipeline
 def edit_video(config: dict) -> np.ndarray:
     rng = utils.seed_everything(config["seed"])
     data = common.setup_editor(config, use_steps_dir=True)
+    data.mesh = common.maybe_frames_mesh(
+        config, config["n_frames"], config["batch_size"]
+    )
     common.save_vae_recon(data)
 
     sched = ddim.make_schedule(config["n_timesteps"])
@@ -53,9 +56,7 @@ def edit_video(config: dict) -> np.ndarray:
             )
         )
 
-    mesh = common.maybe_frames_mesh(
-        config, config["n_frames"], config["batch_size"]
-    )
+    mesh = data.mesh
     pivotal_shardings = None
     if mesh is not None and config.get("shard_pivotal", True):
         from tokenflow_tpu.sharding import mesh as mesh_lib

@@ -87,7 +87,7 @@ def edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
         print("Done!")
         return decoded
 
-    mesh = common.maybe_frames_mesh(
+    mesh = data.mesh = common.maybe_frames_mesh(
         config, config["n_frames"], config["batch_size"]
     )
     pivotal_shardings = None

@@ -122,6 +122,7 @@ class SDStack:
         *,
         batch: int = 10,
         rng: Optional[jax.Array] = None,
+        mesh=None,
     ) -> jax.Array:
         """float (F, H, W, 3) in [0,1] -> scaled latents (F, h, w, 4).
 
@@ -129,19 +130,53 @@ class SDStack:
         call site (preprocess.py:195, run_tokenflow_pnp.py:181)."""
         sf = self.vae.config.scaling_factor
         x = jnp.asarray(frames) * 2.0 - 1.0
-        out = self._vae_mapped("encode")(self.vae_params, x, batch)
+        out = self._vae_apply("encode", x, batch, mesh)
         return out.astype(jnp.float32) * sf
 
     def decode_latents(
-        self, latents: jax.Array, *, batch: int = 10
+        self, latents: jax.Array, *, batch: int = 10, mesh=None
     ) -> jax.Array:
         """scaled latents -> float images in [0,1] (reference
-        decode_latents, preprocess.py:162-171)."""
+        decode_latents, preprocess.py:162-171). With ``mesh``, frames
+        decode data-parallel over the frames axis (SURVEY.md §2.12 — VAE
+        work is embarrassingly frame-parallel; config 5 decodes 120
+        frames @768p)."""
         sf = self.vae.config.scaling_factor
         z = jnp.asarray(latents) / sf
-        img = self._vae_mapped("decode")(self.vae_params, z, batch)
+        img = self._vae_apply("decode", z, batch, mesh)
         img = img.astype(jnp.float32)
         return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+    def _vae_apply(self, which: str, x: jax.Array, batch: int, mesh):
+        if mesh is not None and x.shape[0] % mesh.devices.size == 0:
+            return self._vae_mapped_sharded(which, mesh)(
+                self.vae_params, x
+            )
+        return self._vae_mapped(which)(self.vae_params, x, batch)
+
+    def _vae_mapped_sharded(self, which: str, mesh):
+        """Frames-mesh variant: one un-chunked dispatch with the frame
+        axis sharded (per-device batch = F / n_devices replaces the
+        lax.map chunking — both bound peak memory)."""
+        key = (which, mesh)
+        fn = self._vae_jit_cache.get(key)
+        if fn is None:
+            from tokenflow_tpu.sharding import mesh as mesh_lib
+
+            vae = self.vae
+            method = getattr(vae, which)
+            fsh = mesh_lib.frames_sharding(mesh)
+            repl = mesh_lib.replicated(mesh)
+            fn = jax.jit(
+                lambda params, x: vae.apply(params, x, method=method),
+                in_shardings=(
+                    jax.tree.map(lambda _: repl, self.vae_params),
+                    fsh,
+                ),
+                out_shardings=fsh,
+            )
+            self._vae_jit_cache[key] = fn
+        return fn
 
     def _vae_mapped(self, which: str):
         """One jitted dispatch per encode/decode call regardless of frame
