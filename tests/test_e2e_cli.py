@@ -403,3 +403,43 @@ def test_save_video_encoder_fallback(tmp_path):
         "libx264-ffmpeg-crf18-slow",
         "mp4v-opencv",
     )
+
+
+@pytest.mark.slow
+def test_preprocess_data_parallel_matches(workdir):
+    """Stage-1 CLI with the frames mesh engaged (--data_parallel): the
+    stored latent trajectory must match the single-device run (inversion
+    is embarrassingly frame-parallel, SURVEY §2.12)."""
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        def invert(dp, save_dir):
+            opt = preprocess_cli.build_parser().parse_args(
+                [
+                    "--data_path", "data/clip",
+                    "--H", str(HW), "--W", str(HW),
+                    "--save_dir", save_dir,
+                    "--sd_version", "tiny",
+                    "--steps", str(STEPS),
+                    "--save_steps", str(SAVE_STEPS),
+                    "--n_frames", str(F),
+                    "--batch_size", str(F),
+                    "--inversion_prompt", "a test clip",
+                    "--skip_reconstruction",
+                    "--data_parallel", dp,
+                ]
+            )
+            result = preprocess_cli.run(opt)
+            return np.load(
+                os.path.join(result["save_path"], "latents", "trajectory.npz")
+            )
+
+        # F=4 over 4 devices (8 would not divide F in this fixture)
+        dp = invert("4", "latents_dp")
+        single = invert("off", "latents_1dev")
+        np.testing.assert_allclose(
+            dp["traj"], single["traj"], rtol=5e-5, atol=5e-5
+        )
+        np.testing.assert_array_equal(dp["save_ts"], single["save_ts"])
+    finally:
+        os.chdir(cwd)

@@ -123,10 +123,20 @@ def run(opt) -> dict:
         init=opt.init,
     )
 
+    # multi-chip extension (reference is single-GPU): shard the frame
+    # axis over a mesh — inversion is embarrassingly frame-parallel and
+    # dominates end-to-end wall-clock (PERF.md: ~87% of the two-stage
+    # pipeline on one chip)
+    from tokenflow_tpu.cli import common as cli_common
+
+    mesh = cli_common.maybe_frames_mesh(
+        {"data_parallel": opt.data_parallel}, opt.n_frames, 1
+    )
+
     frames = video_io.load_frames(
         opt.data_path, opt.n_frames, resize_square=opt.H
     )
-    lat = stack.encode_frames(frames)  # (F, h, w, 4)
+    lat = stack.encode_frames(frames, mesh=mesh)  # (F, h, w, 4)
 
     cond = stack.encode_prompt(opt.inversion_prompt, "")[1:2]  # cond only
 
@@ -147,17 +157,41 @@ def run(opt) -> dict:
     frame_chunk = (
         opt.batch_size if opt.batch_size < opt.n_frames else None
     )
+    if mesh is not None:
+        # per-device batch = F / n_devices already bounds memory; lax.map
+        # chunking would fight the frame sharding
+        frame_chunk = None
     eps_fn = build_eps_fn(
         stack, cond, depth, cn_model, canny, frame_chunk
     )
     all_params = {"unet": stack.unet_params, "cn": cn_params}
 
+    def _jit(fn, n_out_frame_sharded):
+        if mesh is None:
+            return jax.jit(fn)
+        from tokenflow_tpu.sharding import mesh as mesh_lib
+
+        fsh = mesh_lib.frames_sharding(mesh)
+        repl = mesh_lib.replicated(mesh)
+        outs = {
+            1: fsh,
+            3: (fsh, mesh_lib.frames_sharding(mesh, frame_axis=1), None),
+        }[n_out_frame_sharded]
+        return jax.jit(
+            fn,
+            in_shardings=(
+                jax.tree.map(lambda _: repl, all_params), fsh
+            ),
+            out_shardings=outs,
+        )
+
     with utils.Timer() as t_inv:
-        invert = jax.jit(
+        invert = _jit(
             lambda params, x: inversion.ddim_inversion(
                 lambda xx, tt: eps_fn(params, xx, tt),
                 x, sched, opt.save_steps,
-            )
+            ),
+            3,
         )
         x_T, traj, save_ts = invert(all_params, lat)
         utils.force_completion(x_T)
@@ -182,16 +216,17 @@ def run(opt) -> dict:
         }
 
     with utils.Timer() as t_rec:
-        recon = jax.jit(
+        recon = _jit(
             lambda params, x: inversion.ddim_reconstruction(
                 lambda xx, tt: eps_fn(params, xx, tt), x, sched
-            )
+            ),
+            1,
         )
         lat_rec = recon(all_params, x_T)
         utils.force_completion(lat_rec)
     print(f"[tokenflow-tpu] reconstruction: {t_rec.seconds:.1f}s")
 
-    rgb = np.asarray(stack.decode_latents(lat_rec))
+    rgb = np.asarray(stack.decode_latents(lat_rec, mesh=mesh))
     video_io.save_frames(rgb, os.path.join(save_path, "frames"))
     video_io.save_video(
         rgb, os.path.join(save_path, "inverted.mp4"), fps=10
@@ -245,6 +280,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="skip the DDIM reconstruction sanity pass (halves preprocess "
         "time; the reference always reconstructs)",
+    )
+    p.add_argument(
+        "--data_parallel",
+        type=str,
+        default="auto",
+        help="shard frames over a device mesh for inversion/VAE "
+        "('auto' = all local devices, N = first N, 'off')",
     )
     return p
 
