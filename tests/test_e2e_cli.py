@@ -443,3 +443,56 @@ def test_preprocess_data_parallel_matches(workdir):
         np.testing.assert_array_equal(dp["save_ts"], single["save_ts"])
     finally:
         os.chdir(cwd)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("sd_version", ["tiny-controlnet", "tiny-depth"])
+def test_preprocess_data_parallel_conditioned_variants(workdir, sd_version):
+    """DP preprocess parity for the conditioned model families: the
+    ControlNet residual branch and the 5-channel depth UNet must produce
+    the same trajectory sharded as single-device (their aux inputs —
+    canny frames / depth maps — enter the sharded inversion jit)."""
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        if sd_version == "tiny-depth":
+            depth_dir = workdir / "data" / "clip" / "depth"
+            depth_dir.mkdir(exist_ok=True)
+            rng = np.random.default_rng(7)
+            for i in range(F):
+                yy, xx = np.mgrid[0:37, 0:41]
+                np.save(
+                    depth_dir / f"{i:05d}.npy",
+                    (yy * 10.0 + xx + rng.random((37, 41)) * 5 + i).astype(
+                        np.float32
+                    ),
+                )
+
+        def invert(dp, save_dir):
+            opt = preprocess_cli.build_parser().parse_args(
+                [
+                    "--data_path", "data/clip",
+                    "--H", str(HW), "--W", str(HW),
+                    "--save_dir", save_dir,
+                    "--sd_version", sd_version,
+                    "--steps", str(STEPS),
+                    "--save_steps", str(SAVE_STEPS),
+                    "--n_frames", str(F),
+                    "--batch_size", str(F),
+                    "--inversion_prompt", "a test clip",
+                    "--skip_reconstruction",
+                    "--data_parallel", dp,
+                ]
+            )
+            result = preprocess_cli.run(opt)
+            return np.load(
+                os.path.join(result["save_path"], "latents", "trajectory.npz")
+            )
+
+        dp = invert("4", f"latents_dp_{sd_version}")
+        single = invert("off", f"latents_1dev_{sd_version}")
+        np.testing.assert_allclose(
+            dp["traj"], single["traj"], rtol=5e-5, atol=5e-5
+        )
+    finally:
+        os.chdir(cwd)
