@@ -496,3 +496,66 @@ def test_preprocess_data_parallel_conditioned_variants(workdir, sd_version):
         )
     finally:
         os.chdir(cwd)
+
+
+@pytest.mark.slow
+def test_controlnet_edit_e2e_data_parallel(workdir):
+    """ControlNet editor with the frames mesh engaged (incl. the sharded
+    pivotal pass and frame-sharded canny conditioning): identical output
+    to the single-device run."""
+    from tokenflow_tpu.cli import run_controlnet
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        opt = preprocess_cli.build_parser().parse_args(
+            [
+                "--data_path", "data/clip",
+                "--H", str(HW), "--W", str(HW),
+                "--save_dir", "latents_cnedit",
+                "--sd_version", "tiny-controlnet",
+                "--steps", str(STEPS),
+                "--save_steps", str(SAVE_STEPS),
+                "--n_frames", str(F),
+                "--batch_size", str(F),
+                "--inversion_prompt", "a test clip",
+                "--skip_reconstruction",
+            ]
+        )
+        preprocess_cli.run(opt)
+        base = {
+            "seed": 1,
+            "device": "cpu",
+            "output_path": "results_cn_dp",
+            "data_path": "data/clip",
+            "latents_path": "latents_cnedit",
+            "n_inversion_steps": STEPS,
+            "n_frames": F,
+            "sd_version": "tiny-controlnet",
+            "guidance_scale": 7.5,
+            "n_timesteps": N_TIMESTEPS,
+            "prompt": "a stylized test clip",
+            "negative_prompt": "ugly",
+            "batch_size": 2,
+            "image_size": HW,
+            "data_parallel": 2,
+        }
+        from tokenflow_tpu.cli.common import dump_config
+
+        config = run_controlnet.resolve_output_path(dict(base))
+        os.makedirs(config["output_path"], exist_ok=True)
+        dump_config(config)
+        decoded_dp = run_controlnet.edit_video(config)
+
+        single = dict(
+            base, data_parallel="off", output_path="results_cn_1dev"
+        )
+        single = run_controlnet.resolve_output_path(single)
+        os.makedirs(single["output_path"], exist_ok=True)
+        dump_config(single)
+        decoded_1 = run_controlnet.edit_video(single)
+        np.testing.assert_allclose(
+            decoded_dp, decoded_1, rtol=5e-5, atol=5e-5
+        )
+    finally:
+        os.chdir(cwd)

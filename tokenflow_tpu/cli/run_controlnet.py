@@ -31,6 +31,9 @@ from tokenflow_tpu.editing import pipeline
 def edit_video(config: dict) -> np.ndarray:
     rng = utils.seed_everything(config["seed"])
     data = common.setup_editor(config, use_steps_dir=True)
+    data.mesh = common.maybe_frames_mesh(
+        config, config["n_frames"], config["batch_size"]
+    )
     common.save_vae_recon(data)
 
     cn_model, cn_params, canny = build_controlnet(
@@ -49,6 +52,12 @@ def edit_video(config: dict) -> np.ndarray:
     x_init = ddim.add_noise(
         data.latents.astype(jnp.float32), data.eps, alpha_0
     )
+
+    pivotal_shardings = None
+    if data.mesh is not None and config.get("shard_pivotal", True):
+        from tokenflow_tpu.sharding import mesh as mesh_lib
+
+        pivotal_shardings = mesh_lib.pivotal_shardings(data.mesh)
 
     def loop_fn(params, cn_p, x0, traj, embeds3, rng, canny):
         # the ControlNet apply closure is built INSIDE the traced function
@@ -70,9 +79,29 @@ def edit_video(config: dict) -> np.ndarray:
             propagate_chunk=config.get("propagate_chunk"),
             controlnet_fn=cn_fn,
             cond_image=canny,
+            pivotal_shardings=pivotal_shardings,
         )
 
-    loop = jax.jit(loop_fn)
+    if data.mesh is None:
+        loop = jax.jit(loop_fn)
+    else:
+        from tokenflow_tpu.sharding import mesh as mesh_lib
+
+        fsh = mesh_lib.frames_sharding(data.mesh)
+        repl = mesh_lib.replicated(data.mesh)
+        loop = jax.jit(
+            loop_fn,
+            in_shardings=(
+                jax.tree.map(lambda _: repl, data.stack.unet_params),
+                jax.tree.map(lambda _: repl, cn_params),
+                fsh,
+                mesh_lib.frames_sharding(data.mesh, frame_axis=1),
+                repl,
+                repl,
+                fsh,  # canny conditioning frames shard with their frames
+            ),
+            out_shardings=fsh,
+        )
     with utils.Timer() as t_edit:
         latents_out = loop(
             data.stack.unet_params,
