@@ -165,6 +165,8 @@ def setup_editor(
     )
     config["n_frames"] = n_frames
     print("Number of frames: ", n_frames)
+    # mesh after the frame-count clamp (it must divide the mesh)
+    mesh = maybe_frames_mesh(config, n_frames, config["batch_size"])
 
     frames = video_io.load_frames(
         config["data_path"], n_frames,
@@ -177,7 +179,7 @@ def setup_editor(
             fps=fps,
         )
 
-    latents = stack.encode_frames(frames, batch=VAE_BATCH_SIZE)
+    latents = stack.encode_frames(frames, batch=VAE_BATCH_SIZE, mesh=mesh)
 
     trajectory = latents_io.load_trajectory(save_path)
     if trajectory.traj.shape[1] < n_frames:
@@ -217,6 +219,7 @@ def setup_editor(
         trajectory=trajectory,
         embeds3=embeds3,
         save_path=save_path,
+        mesh=mesh,
     )
 
 

@@ -31,9 +31,6 @@ from tokenflow_tpu.editing import pipeline
 def edit_video(config: dict) -> np.ndarray:
     rng = utils.seed_everything(config["seed"])
     data = common.setup_editor(config, use_steps_dir=True)
-    data.mesh = common.maybe_frames_mesh(
-        config, config["n_frames"], config["batch_size"]
-    )
     common.save_vae_recon(data)
 
     cn_model, cn_params, canny = build_controlnet(

@@ -26,9 +26,6 @@ from tokenflow_tpu.editing import pipeline
 def edit_video(config: dict) -> np.ndarray:
     rng = utils.seed_everything(config["seed"])
     data = common.setup_editor(config, use_steps_dir=True)
-    data.mesh = common.maybe_frames_mesh(
-        config, config["n_frames"], config["batch_size"]
-    )
     common.save_vae_recon(data)
 
     sched = ddim.make_schedule(config["n_timesteps"])

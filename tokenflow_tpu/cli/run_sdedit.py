@@ -87,9 +87,7 @@ def edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
         print("Done!")
         return decoded
 
-    mesh = data.mesh = common.maybe_frames_mesh(
-        config, config["n_frames"], config["batch_size"]
-    )
+    mesh = data.mesh  # built in setup_editor (after the frame clamp)
     pivotal_shardings = None
     if mesh is not None and config.get("shard_pivotal", True):
         from tokenflow_tpu.sharding import mesh as mesh_lib
