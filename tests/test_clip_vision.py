@@ -114,3 +114,17 @@ def test_preprocess_images_range():
     assert out.shape == (2, 32, 32, 3)
     # normalized range for [0,1] inputs stays within (x - mean)/std bounds
     assert float(out.min()) > -2.2 and float(out.max()) < 2.7
+
+
+def test_preprocess_images_center_crop_geometry():
+    """Non-square frames use shortest-edge resize + CENTER crop
+    (CLIPImageProcessor semantics), not a squash resize. With H already at
+    image_size the resize is the identity, so the output must equal the
+    normalized center window of the input exactly."""
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(0, 1, (2, 32, 64, 3)).astype(np.float32)
+    out = cv.preprocess_images(jnp.asarray(frames), image_size=32)
+    mean = np.asarray(cv.CLIP_MEAN, np.float32)
+    std = np.asarray(cv.CLIP_STD, np.float32)
+    expected = (frames[:, :, 16:48] - mean) / std
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)

@@ -331,3 +331,38 @@ def test_token_match_sharded_custom_partitioning():
     txt = fn.lower(norm_h, p_hat, kf_attn, pa, pb, w1).compile().as_text()
     local = f"f32[{f_total // 8},{s},{d}]"
     assert local in txt, f"expected local shard shape {local} in HLO"
+
+
+def test_vmem_gates_reject_oversized_sites():
+    """Dispatch gates (fused + split kernels) must reject sites whose
+    tables exceed the VMEM model — on hardware an overrun inside the edit
+    scan can crash the TPU worker rather than raise (ADVICE round-2
+    medium: the sharded dispatch previously skipped the split gate)."""
+    from tokenflow_tpu.kernels.token_match import fits_vmem
+    from tokenflow_tpu.kernels.token_match_split import split_fits_vmem
+
+    # 512p top site: fused kernel eligible
+    assert fits_vmem(4096, 320)
+    # 768p top site: fused rejects (profitability cap), split accepts
+    assert not fits_vmem(9216, 320)
+    assert split_fits_vmem(9216, 320)
+    # 1024p-class site: ~126MB resident kf tables — both must reject
+    assert not fits_vmem(16384, 320)
+    assert not split_fits_vmem(16384, 320)
+
+
+def test_use_pallas_gn_requires_optin_and_master(monkeypatch):
+    """GN kernel: explicit opt-in, vetoed by the master TOKENFLOW_PALLAS=0
+    switch that the frames-mesh setup uses to disable SPMD-rule-less
+    kernels (ADVICE round-2 low)."""
+    from tokenflow_tpu.ops.attention import use_pallas_gn
+
+    monkeypatch.delenv("TOKENFLOW_PALLAS_GN", raising=False)
+    monkeypatch.delenv("TOKENFLOW_PALLAS", raising=False)
+    assert not use_pallas_gn()  # never auto
+    monkeypatch.setenv("TOKENFLOW_PALLAS_GN", "1")
+    assert use_pallas_gn()
+    monkeypatch.setenv("TOKENFLOW_PALLAS", "0")  # mesh veto
+    assert not use_pallas_gn()
+    monkeypatch.setenv("TOKENFLOW_PALLAS", "1")
+    assert use_pallas_gn()

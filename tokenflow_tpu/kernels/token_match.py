@@ -199,12 +199,21 @@ def _sharded_match(interpret: bool):
                 norm_h, p_hat, kf_attn, pa, pb, w1, interpret=interpret
             )
         from tokenflow_tpu.kernels.token_match_split import (
+            split_fits_vmem,
             token_match_gather_split,
         )
 
-        return token_match_gather_split(
-            norm_h, p_hat, kf_attn, pa, pb, w1, interpret=interpret
-        )
+        if split_fits_vmem(s, d):
+            return token_match_gather_split(
+                norm_h, p_hat, kf_attn, pa, pb, w1, interpret=interpret
+            )
+        # Neither kernel's VMEM model fits (e.g. 1024p-class S) — same
+        # gate as the unsharded dispatch (ops/propagation.py): a VMEM
+        # overrun inside the edit scan can crash the TPU worker, so run
+        # the jnp match/gather (shardable) on each device's local shard.
+        from tokenflow_tpu.ops.propagation import jnp_match_gather
+
+        return jnp_match_gather(norm_h, p_hat, kf_attn, pa, pb, w1)
 
     tm = custom_partitioning(_call)
 

@@ -27,6 +27,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def split_fits_vmem(s: int, d: int, budget: int = 100 << 20) -> bool:
+    """VMEM gate for the gather stage (the tighter of the two kernels):
+    both pivots' (3, S, D) bf16 kf tables double-buffered, plus the
+    per-frame int32 index rows. Sites where this fails (e.g. 1024p-class
+    latents, S=16384/D=320 -> ~126MB resident tables) must use the jnp
+    match/gather instead — a VMEM overrun inside the edit scan can crash
+    the TPU worker rather than raise (repo environment notes)."""
+    return 2 * 2 * (3 * s * d * 2) + 2 * 256 * s * 2 < budget
+
+
 def _match_kernel(
     pa_ref, pb_ref,  # scalar-prefetch (F,) int32
     x_ref,  # (1, BQ, D)

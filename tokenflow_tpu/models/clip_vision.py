@@ -137,13 +137,25 @@ CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 def preprocess_images(
     frames: jax.Array, image_size: int = 224
 ) -> jax.Array:
-    """(B, H, W, 3) in [0, 1] -> CLIP-normalized (B, size, size, 3)
-    (bicubic resize like CLIPImageProcessor's default)."""
-    x = jax.image.resize(
-        frames,
-        (frames.shape[0], image_size, image_size, 3),
-        method="bicubic",
-    )
+    """(B, H, W, 3) in [0, 1] -> CLIP-normalized (B, size, size, 3).
+
+    Matches transformers CLIPImageProcessor defaults: bicubic resize of
+    the SHORTEST edge to ``image_size`` (long edge scaled to
+    int(size * long / short)) followed by a center crop — not a squash
+    resize, which would distort CLIP scores on non-square frames. Square
+    inputs (the TokenFlow default) reduce to a plain square resize.
+    """
+    b, h, w, _ = frames.shape
+    if h == w:
+        nh = nw = image_size
+    elif h < w:
+        nh, nw = image_size, int(image_size * w / h)
+    else:
+        nh, nw = int(image_size * h / w), image_size
+    x = jax.image.resize(frames, (b, nh, nw, 3), method="bicubic")
+    top = (nh - image_size) // 2
+    left = (nw - image_size) // 2
+    x = x[:, top : top + image_size, left : left + image_size]
     mean = jnp.asarray(CLIP_MEAN, x.dtype)
     std = jnp.asarray(CLIP_STD, x.dtype)
     return (x - mean) / std

@@ -52,8 +52,9 @@ class FusedGroupNorm(nn.Module):
 
     Param layout ("scale"/"bias", shape (C,)) is identical to
     flax.linen.GroupNorm so checkpoints and the HF weight converter are
-    unaffected. On TPU (ops.attention.use_pallas('gn'), knob
-    TOKENFLOW_PALLAS_GN) eligible sites run the layout-matched Pallas
+    unaffected. With the explicit opt-in (ops.attention.use_pallas_gn,
+    knob TOKENFLOW_PALLAS_GN=1, vetoed by TOKENFLOW_PALLAS=0 under a
+    mesh) eligible sites run the layout-matched Pallas
     kernels (kernels/group_norm.py) — stats + apply at HBM-bandwidth
     speed-of-light with bitcast (not copy) transposes into the convs'
     physical layouts; XLA's native lowering measured ~30% of the
@@ -70,9 +71,8 @@ class FusedGroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        import os
-
         from tokenflow_tpu.kernels import group_norm as gn
+        from tokenflow_tpu.ops.attention import use_pallas_gn
 
         c = x.shape[-1]
         scale = self.param(
@@ -85,8 +85,10 @@ class FusedGroupNorm(nn.Module):
         # full edit scan the kernel is net-neutral-to-negative (PERF.md
         # round-2 GroupNorm study) because XLA already fuses the GN apply
         # into the consuming conv; the kernel remains available for
-        # contexts with different fusion structure.
-        if os.environ.get("TOKENFLOW_PALLAS_GN") == "1" and gn.fits_vmem(
+        # contexts with different fusion structure. The master
+        # TOKENFLOW_PALLAS=0 switch vetoes (no SPMD rule -> replicated
+        # compute under a mesh; see ops.attention.use_pallas_gn).
+        if use_pallas_gn() and gn.fits_vmem(
             x.shape, x.dtype.itemsize
         ):
             y = gn.group_norm_nhwc(

@@ -43,6 +43,20 @@ def use_pallas(kind: str = "flash") -> bool:
         return False
 
 
+def use_pallas_gn() -> bool:
+    """GroupNorm kernel dispatch: EXPLICIT opt-in (TOKENFLOW_PALLAS_GN=1
+    — measured net-neutral-to-negative inside the edit scan, PERF.md
+    round-2 GN study, so never auto), vetoed by the master switch
+    TOKENFLOW_PALLAS=0. The veto matters under a frames mesh: the mesh
+    setup (cli/common.maybe_frames_mesh) sets TOKENFLOW_PALLAS=0 because
+    a pallas_call without an SPMD rule is computed replicated on every
+    mesh device, and the GN kernel carries no custom_partitioning rule.
+    """
+    if os.environ.get("TOKENFLOW_PALLAS_GN") != "1":
+        return False
+    return os.environ.get("TOKENFLOW_PALLAS", "auto") != "0"
+
+
 def split_heads(x: jax.Array, heads: int) -> jax.Array:
     """(B, S, H*D) -> (B, S, H, D)."""
     b, s, inner = x.shape

@@ -86,6 +86,43 @@ def propagation_indices(
     )
 
 
+def jnp_match_gather(
+    xq: jax.Array,  # (F, S, D) query tokens (need not be normalized)
+    p_hat: jax.Array,  # (K, S, D) L2-normalized pivot tokens
+    kf_attn: jax.Array,  # (3, K, S, D)
+    pa_f: jax.Array,  # (F,)
+    pb_f: jax.Array,  # (F,)
+    w1: jax.Array,  # (F,)
+) -> jax.Array:
+    """Dense-jnp NN match + two-pivot blended gather.
+
+    The reference semantics (tokenflow_utils.py:335-390) with the frame
+    axis kept a real array axis so pjit can shard it; also the fallback
+    the kernel dispatches (fused and split Pallas variants) degrade to
+    when their VMEM models don't fit. Peak transient is the (F, S, S)
+    similarity tensor — bounded by the pipeline's propagate_chunk.
+    """
+    xq = xq.astype(jnp.float32)
+
+    def match_gather(p_idx):
+        sim = jnp.einsum(
+            "fsd,fzd->fsz",
+            xq,
+            p_hat.astype(jnp.float32)[p_idx],
+            preferred_element_type=jnp.float32,
+        )
+        idx = jnp.argmax(sim, axis=-1)  # (F, S)
+        # kf_attn[:, p_idx]: (3, F, S, D); gather tokens per frame.
+        return jnp.take_along_axis(
+            kf_attn[:, p_idx], idx[None, :, :, None], axis=2
+        )
+
+    g1 = match_gather(pa_f)
+    g2 = match_gather(pb_f)
+    w = w1.astype(kf_attn.dtype)[None, :, None, None]
+    return w * g1 + (1 - w) * g2
+
+
 def token_propagation(
     norm_h_src: jax.Array,
     pivot_h_src: jax.Array,
@@ -156,7 +193,11 @@ def token_propagation(
             )
         # large-S sites (768p): split match/gather kernels keep the kf
         # tables resident per frame; gate on the gather stage's VMEM
-        if 2 * 2 * (3 * s * d * 2) + 2 * 256 * s * 2 < (100 << 20):
+        from tokenflow_tpu.kernels.token_match_split import (
+            split_fits_vmem,
+        )
+
+        if split_fits_vmem(s, d):
             return token_match_gather_split(
                 norm_h_src,
                 p_hat.astype(norm_h_src.dtype),
@@ -166,26 +207,6 @@ def token_propagation(
                 w1,
             )
 
-    # Fully batched over frames (no lax.map): keeps the frame axis a real
-    # array axis so pjit can shard it across devices. Peak transient is the
-    # (F, S, S) similarity tensor — bounded by the pipeline's
-    # propagate_chunk, and removed entirely by the Pallas kernel.
-    xq = norm_h_src.astype(jnp.float32)
-
-    def match_gather(p_idx):
-        sim = jnp.einsum(
-            "fsd,fzd->fsz",
-            xq,
-            p_hat[p_idx],
-            preferred_element_type=jnp.float32,
-        )
-        idx = jnp.argmax(sim, axis=-1)  # (F, S)
-        # kf_attn[:, p_idx]: (3, F, S, D); gather tokens per frame.
-        return jnp.take_along_axis(
-            kf_attn[:, p_idx], idx[None, :, :, None], axis=2
-        )
-
-    g1 = match_gather(pa_f)
-    g2 = match_gather(pb_f)
-    w = w1.astype(kf_attn.dtype)[None, :, None, None]
-    return w * g1 + (1 - w) * g2
+    return jnp_match_gather(
+        norm_h_src, p_hat, kf_attn, pa_f, pb_f, w1
+    )
