@@ -12,6 +12,28 @@ the TPU-native CLIP towers (models/clip_vision.py):
 Usage:
     python scripts/compare_outputs.py DIR_A DIR_B [--out report.json]
         [--clip_ckpt /path/to/clip-vit-large-patch14 --prompt "..."]
+
+Pinning pivots for a real-weight A/B vs the reference
+-----------------------------------------------------
+The reference draws its per-step keyframe (pivot) indices from the torch
+global RNG (/root/reference/run_tokenflow_pnp.py:224:
+``randint(batch_size) + arange(0, n_frames, batch_size)``); this repo
+draws from the JAX PRNG (editing/pipeline.py::choose_pivots). Identical
+seeds therefore give DIFFERENT pivots on the two sides, and a per-frame
+PSNR comparison of unpinned runs conflates numerics with pivot choice.
+To isolate numerics, pin the SAME pivot table on both sides:
+
+1. Run the reference once; capture its drawn pivots by logging
+   ``pivotal_idx`` each step (run_tokenflow_pnp.py:224) into a
+   ``(n_steps, n_windows)`` table of ABSOLUTE frame indices.
+2. Put that table in this repo's run config as ``pivot_indices:``
+   (nested list) — the editors validate it (each pivot inside its own
+   window) and bypass the PRNG draw. Every run also writes its own table
+   to ``{output_path}/pivots.json`` and metrics.json, so step 1 can
+   equally be done in this repo and replayed on a patched reference.
+3. Then compare ``img_ode/`` directories with this script; remaining
+   differences are numerics (bf16 vs fp16, XLA vs CUDA kernels), not
+   sampling.
 """
 
 import argparse

@@ -130,6 +130,49 @@ def make_edit_schedule(
     )
 
 
+def choose_pivots(
+    rng: jax.Array, n_steps: int, n_windows: int, window_size: int
+) -> jax.Array:
+    """Per-step random pivot indices, (n_steps, n_windows) ABSOLUTE frame
+    indices (pivot of window w lies in [w*ws, (w+1)*ws)).
+
+    Parity: the reference draws ``randint(batch_size) + arange(0, n, bs)``
+    from the torch global RNG every step (run_tokenflow_pnp.py:224); here
+    the JAX PRNG (one split per step). Exposed as a public function so
+    callers can RECORD the drawn pivots (metrics.json) or PIN them
+    (``pivot_indices`` argument of :func:`tokenflow_sample_loop`) — with
+    different RNGs, identical seeds give different pivots on the two
+    sides of a reference A/B, so output-parity comparisons must pin the
+    same pivot table on both (VERDICT round-2 missing #3).
+    """
+    keys = jax.random.split(rng, n_steps)
+    offsets = jnp.arange(n_windows, dtype=jnp.int32) * window_size
+    draw = jax.vmap(
+        lambda k: jax.random.randint(k, (n_windows,), 0, window_size)
+    )(keys)
+    return draw.astype(jnp.int32) + offsets[None, :]
+
+
+def validate_pivot_indices(
+    pivots: np.ndarray, n_steps: int, n_windows: int, window_size: int
+) -> np.ndarray:
+    """Host-side validation of a pinned pivot table (shape + each pivot
+    inside its own window, the invariant propagation_indices assumes)."""
+    pivots = np.asarray(pivots, np.int32)
+    if pivots.shape != (n_steps, n_windows):
+        raise ValueError(
+            f"pivot_indices shape {pivots.shape} != "
+            f"(n_steps={n_steps}, n_windows={n_windows})"
+        )
+    lo = np.arange(n_windows) * window_size
+    if ((pivots < lo) | (pivots >= lo + window_size)).any():
+        raise ValueError(
+            "pivot_indices out of window: each pivots[t, w] must lie in "
+            f"[w*{window_size}, (w+1)*{window_size})"
+        )
+    return pivots
+
+
 def _stream_embeds(
     embeds3: jax.Array, n: int
 ) -> jax.Array:
@@ -173,8 +216,15 @@ def tokenflow_sample_loop(
     cond_image: Optional[jax.Array] = None,  # (F, H, W, 3) for controlnet_fn
     fused: bool = False,  # single-pass pivotal+propagation (EditMode.FUSED)
     pivotal_shardings: Optional["PivotalShardings"] = None,
+    pivot_indices: Optional[jax.Array] = None,  # (T, n_windows) absolute
 ) -> jax.Array:
-    """Run the full TokenFlow edit; returns denoised latents (F, h, w, 4)."""
+    """Run the full TokenFlow edit; returns denoised latents (F, h, w, 4).
+
+    ``pivot_indices`` pins the per-step keyframe choices (overriding the
+    PRNG draw) — required for reference A/B parity runs and the composed
+    torch golden; when None the pivots are exactly
+    ``choose_pivots(rng, ...)``, so callers can record them host-side.
+    """
     f_total = x_init.shape[0]
     n_windows = f_total // window_size
     assert n_windows * window_size == f_total
@@ -187,8 +237,14 @@ def tokenflow_sample_loop(
         fused = False
 
     pa, pb, w1 = (jnp.asarray(a) for a in propagation_indices(f_total, window_size))
-    window_offsets = jnp.arange(n_windows) * window_size
-    step_keys = jax.random.split(rng, len(schedule.timesteps))
+    n_steps = len(schedule.timesteps)
+    if pivot_indices is None:
+        pivot_indices = choose_pivots(rng, n_steps, n_windows, window_size)
+    else:
+        pivot_indices = jnp.asarray(pivot_indices, jnp.int32)
+        assert pivot_indices.shape == (n_steps, n_windows), (
+            pivot_indices.shape, n_steps, n_windows,
+        )
 
     def chunk_view(arr):
         return arr.reshape(n_chunks, chunk, *arr.shape[1:])
@@ -214,13 +270,8 @@ def tokenflow_sample_loop(
         )
 
     def fused_step_fn(x, xs):
-        a_t, a_prev, t, slot, qk_g, conv_g, key = xs
+        a_t, a_prev, t, slot, qk_g, conv_g, piv = xs
         src = src_traj[slot]
-        piv = (
-            jax.random.randint(key, (n_windows,), 0, window_size)
-            + window_offsets
-        )
-
         d_piv = None if depth is None else depth[piv]
         # [3*kf pivots | 3*f frames], each segment frame-major
         sample = jnp.concatenate(
@@ -259,14 +310,10 @@ def tokenflow_sample_loop(
         return ddim.ddim_step(x, eps, a_t, a_prev).astype(x.dtype), None
 
     def step_fn(x, xs):
-        a_t, a_prev, t, slot, qk_g, conv_g, key = xs
+        a_t, a_prev, t, slot, qk_g, conv_g, piv = xs
         src = src_traj[slot]
 
         # ---- pivotal pass over the keyframes
-        piv = (
-            jax.random.randint(key, (n_windows,), 0, window_size)
-            + window_offsets
-        )
         x_piv, src_piv, d_piv = x[piv], src[piv], (
             None if depth is None else depth[piv]
         )
@@ -321,10 +368,11 @@ def tokenflow_sample_loop(
                 params, sample, t, embeds_prop, edit,
                 **residual_kwargs(sample, t, embeds_prop, cn_i),
             )
-            # frame-major batch -> (3, chunk, ...) stream-major view for CFG
-            return jnp.moveaxis(
-                eps_c.reshape(chunk, 3, *eps_c.shape[1:]), 1, 0
-            )
+            # stay FRAME-MAJOR (chunk, 3, ...): CFG slices the stream axis
+            # directly; the former stream-major moveaxis was a per-step
+            # transpose XLA materialized in the scan (PERF.md round-2 op
+            # profile "copies/scan plumbing")
+            return eps_c.reshape(chunk, 3, *eps_c.shape[1:])
 
         x_c, src_c = chunk_view(x), chunk_view(src)
         if n_chunks == 1:
@@ -347,11 +395,11 @@ def tokenflow_sample_loop(
             eps3 = jax.lax.map(
                 unpack, (x_c, src_c, pa_c, pb_c, w1_c, *aux)
             )
-            # (n_chunks, 3, chunk, ...) -> (3, F, ...)
-            eps3 = eps3.swapaxes(0, 1).reshape(3, f_total, *eps3.shape[3:])
+            # (n_chunks, chunk, 3, ...) -> (F, 3, ...)
+            eps3 = eps3.reshape(f_total, 3, *eps3.shape[3:])
 
         eps = ddim.classifier_free_guidance(
-            eps3[1], eps3[2], guidance_scale
+            eps3[:, 1], eps3[:, 2], guidance_scale
         )
         x = ddim.ddim_step(x, eps, a_t, a_prev).astype(x.dtype)
         return x, None
@@ -363,7 +411,7 @@ def tokenflow_sample_loop(
         jnp.asarray(schedule.src_slot),
         jnp.asarray(schedule.qk_gate),
         jnp.asarray(schedule.conv_gate),
-        step_keys,
+        pivot_indices,
     )
     x_out, _ = jax.lax.scan(
         fused_step_fn if fused else step_fn, x_init, xs
