@@ -147,9 +147,17 @@ def test_pnp_edit_e2e_data_parallel(inverted):
         from tokenflow_tpu.cli.common import dump_config
 
         dump_config(config)
+        from tokenflow_tpu.cli.common import DISPATCH_FLAGS
+
+        env_before = {k: os.environ.get(k) for k in DISPATCH_FLAGS}
         decoded_dp = run_pnp.edit_video(config)
         assert decoded_dp.shape == (F, HW, HW, 3)
         assert np.isfinite(decoded_dp).all()
+        # the mesh-tuned kernel-dispatch env flags must not leak into
+        # later runs in this process (ADVICE round-2: the single-device
+        # run below used to inherit them)
+        env_after = {k: os.environ.get(k) for k in DISPATCH_FLAGS}
+        assert env_after == env_before, (env_before, env_after)
 
         single = dict(config, data_parallel="off", output_path="results_1dev")
         single = run_pnp.resolve_output_path(single)

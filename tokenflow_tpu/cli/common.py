@@ -5,6 +5,7 @@ code (SURVEY.md §2.3); here the shared part is factored once.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 from pathlib import Path
@@ -63,6 +64,37 @@ def load_config(config_path: str) -> dict:
         return yaml.safe_load(f)
 
 
+# Kernel-dispatch env flags maybe_frames_mesh tunes for mesh execution.
+# They are process-global, so editors scope them with dispatch_env_scope —
+# otherwise a later single-device run in the same process would silently
+# inherit mesh-tuned dispatch (e.g. globally disabled non-flash kernels).
+DISPATCH_FLAGS = (
+    "TOKENFLOW_PALLAS",
+    "TOKENFLOW_PALLAS_FLASH",
+    "TOKENFLOW_FLASH_SHARDED",
+    "TOKENFLOW_PALLAS_MATCH",
+    "TOKENFLOW_MATCH_SHARDED",
+)
+
+
+@contextlib.contextmanager
+def dispatch_env_scope():
+    """Snapshot the kernel-dispatch env flags and restore them on exit.
+
+    Editors wrap their whole run (setup through decode) in this so the
+    flags maybe_frames_mesh sets stay live for every trace of that run
+    but never leak into subsequent runs in the same process."""
+    prior = {k: os.environ.get(k) for k in DISPATCH_FLAGS}
+    try:
+        yield
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 def maybe_frames_mesh(config: dict, n_frames: int, window_size: int):
     """Build the frames mesh for the editors when multi-device execution is
     available and applicable (extension key ``data_parallel``: 'auto'
@@ -114,6 +146,44 @@ def maybe_frames_mesh(config: dict, n_frames: int, window_size: int):
         os.environ.setdefault("TOKENFLOW_PALLAS_MATCH", "1")
         os.environ.setdefault("TOKENFLOW_MATCH_SHARDED", "1")
     return mesh
+
+
+def resolve_pivots(
+    config: dict, rng, n_steps: int, n_frames: int
+) -> np.ndarray:
+    """Per-step keyframe (pivot) indices for the edit loop, (T, n_windows).
+
+    ``pivot_indices`` in the config (nested list, absolute frame indices)
+    PINS them — required to reproduce a run exactly or to A/B against the
+    reference with both sides on the same pivots (the reference draws from
+    the torch global RNG, run_tokenflow_pnp.py:224, so identical seeds
+    give different pivots across frameworks). Otherwise they are drawn
+    from the JAX PRNG exactly as the edit loop would. Either way the
+    chosen table is dumped to ``{output_path}/pivots.json`` so any run can
+    be replayed pinned.
+    """
+    import json
+
+    from tokenflow_tpu.editing import pipeline
+
+    ws = config["batch_size"]
+    n_windows = n_frames // ws
+    pinned = config.get("pivot_indices")
+    if pinned is not None:
+        pivots = pipeline.validate_pivot_indices(
+            np.asarray(pinned, np.int32), n_steps, n_windows, ws
+        )
+    else:
+        pivots = np.asarray(
+            pipeline.choose_pivots(rng, n_steps, n_windows, ws)
+        )
+    os.makedirs(config["output_path"], exist_ok=True)
+    with open(os.path.join(config["output_path"], "pivots.json"), "w") as f:
+        json.dump(
+            {"pinned": pinned is not None, "pivot_indices": pivots.tolist()},
+            f,
+        )
+    return pivots
 
 
 def dump_config(config: dict) -> None:

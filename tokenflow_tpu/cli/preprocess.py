@@ -102,6 +102,15 @@ def load_depth_maps(data_path: str, n_frames: int, latent_hw) -> np.ndarray:
 
 
 def run(opt) -> dict:
+    # scope the mesh kernel-dispatch env flags (set by maybe_frames_mesh
+    # below) to this run
+    from tokenflow_tpu.cli import common as cli_common
+
+    with cli_common.dispatch_env_scope():
+        return _run(opt)
+
+
+def _run(opt) -> dict:
     key = utils.seed_everything(1)  # reference seeds 1 (preprocess.py:303)
     del key
 

@@ -29,6 +29,13 @@ from tokenflow_tpu.editing import pipeline
 
 
 def edit_video(config: dict) -> np.ndarray:
+    # scope the mesh kernel-dispatch env flags (set by maybe_frames_mesh
+    # inside setup_editor) to this run
+    with common.dispatch_env_scope():
+        return _edit_video(config)
+
+
+def _edit_video(config: dict) -> np.ndarray:
     rng = utils.seed_everything(config["seed"])
     data = common.setup_editor(config, use_steps_dir=True)
     common.save_vae_recon(data)
@@ -56,7 +63,11 @@ def edit_video(config: dict) -> np.ndarray:
 
         pivotal_shardings = mesh_lib.pivotal_shardings(data.mesh)
 
-    def loop_fn(params, cn_p, x0, traj, embeds3, rng, canny):
+    pivots = common.resolve_pivots(
+        config, rng, len(schedule.timesteps), config["n_frames"]
+    )
+
+    def loop_fn(params, cn_p, x0, traj, embeds3, pivots, canny):
         # the ControlNet apply closure is built INSIDE the traced function
         # so cn_p stays a traced argument (see build_controlnet docstring)
         def cn_fn(sample, t, ctx, cond):
@@ -77,6 +88,7 @@ def edit_video(config: dict) -> np.ndarray:
             controlnet_fn=cn_fn,
             cond_image=canny,
             pivotal_shardings=pivotal_shardings,
+            pivot_indices=pivots,
         )
 
     if data.mesh is None:
@@ -106,7 +118,7 @@ def edit_video(config: dict) -> np.ndarray:
             x_init.astype(data.stack.dtype),
             jnp.asarray(data.trajectory.traj, data.stack.dtype),
             data.embeds3,
-            rng,
+            jnp.asarray(pivots),
             canny,
         )
         utils.force_completion(latents_out)

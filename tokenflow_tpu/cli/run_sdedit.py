@@ -26,6 +26,13 @@ from tokenflow_tpu.io import video as video_io
 
 
 def edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
+    # scope the mesh kernel-dispatch env flags (set by maybe_frames_mesh
+    # inside setup_editor) to this run
+    with common.dispatch_env_scope():
+        return _edit_video(config, vanilla)
+
+
+def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
     from tokenflow_tpu import runtime
 
     if runtime.is_depth(config["sd_version"]):
@@ -94,7 +101,11 @@ def edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
 
         pivotal_shardings = mesh_lib.pivotal_shardings(mesh)
 
-    def loop_fn(params, x0, traj, embeds3, rng):
+    pivots = common.resolve_pivots(
+        config, rng, len(schedule.timesteps), config["n_frames"]
+    )
+
+    def loop_fn(params, x0, traj, embeds3, pivots):
         return pipeline.tokenflow_sample_loop(
             data.stack.unet_apply,
             params,
@@ -109,6 +120,7 @@ def edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
             propagate_chunk=config.get("propagate_chunk"),
             fused=config.get("fused_step", False),
             pivotal_shardings=pivotal_shardings,
+            pivot_indices=pivots,
         )
 
     if mesh is None:
@@ -135,7 +147,7 @@ def edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
             x_init.astype(data.stack.dtype),
             jnp.asarray(data.trajectory.traj, data.stack.dtype),
             data.embeds3,
-            rng,
+            jnp.asarray(pivots),
         )
         utils.force_completion(latents_out)
     print(
