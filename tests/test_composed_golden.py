@@ -37,12 +37,14 @@ torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 
 from test_torch_goldens import (  # noqa: E402
+    _build_controlnet_sd,
     _build_unet_sd,
     _conv,
     _gn,
     _lin,
     _ln,
     torch_attention,
+    torch_controlnet,
     torch_geglu_ff,
     torch_resnet,
     torch_timestep_embedding,
@@ -203,11 +205,14 @@ def t_resnet_inject(x, temb, sd, p, inject_conv, groups=32, eps=1e-5):
     return x + h
 
 
-def torch_unet_edit(x, t, ctx, sd, cfg, state):
+def torch_unet_edit(x, t, ctx, sd, cfg, state, residuals=None):
     """torch_unet (test_torch_goldens) with the TokenFlow surgery applied
     at the reference's sites: TokenFlowBlocks everywhere, PnP q/k
     injection on decoder res_dict {1:[1,2],2:[0,1,2],3:[0,1,2]}
-    (tokenflow_utils.py:208-214), conv-f at up_blocks[1].resnets[1]."""
+    (tokenflow_utils.py:208-214), conv-f at up_blocks[1].resnets[1].
+    ``residuals`` = (down_list, mid) ControlNet residuals, added to the
+    skips / after the mid block exactly as diffusers' UNet consumes them
+    (unet2d.py:169-181)."""
     chans = list(cfg.block_out_channels)
     n = len(chans)
     tb = torch.full((x.shape[0],), int(t))
@@ -234,12 +239,16 @@ def torch_unet_edit(x, t, ctx, sd, cfg, state):
                 stride=2, padding=1,
             )
             skips.append(h)
+    if residuals is not None:
+        skips = [s + r for s, r in zip(skips, residuals[0])]
     h = torch_resnet(h, temb, sd, "mid_block.resnets.0")
     h = t_t2d_edit(
         h, ctx, sd, "mid_block.attentions.0", cfg.num_heads[-1],
         cfg.use_linear_projection, state, inject_qk_site=False,
     )
     h = torch_resnet(h, temb, sd, "mid_block.resnets.1")
+    if residuals is not None:
+        h = h + residuals[1]
     for i in range(n):
         level = n - 1 - i
         for j in range(cfg.layers_per_block + 1):
@@ -265,11 +274,16 @@ def torch_unet_edit(x, t, ctx, sd, cfg, state):
 def torch_edit_loop(
     sd, cfg, x0, traj, save_ts, inv_e, unc_e, cond_e,
     timesteps, step_ratio, qk_sched, conv_sched, pivots, ws, g,
+    cn=None, depth=None,
 ):
     """The reference sample loop (run_tokenflow_pnp.py:195-233,264-267):
     per step one pivotal pass (result discarded, hook caches kept) then
     per-window propagation passes with 3-way CFG and the DDIM step,
-    everything float64 stream-major."""
+    everything float64 stream-major. ``cn`` = (cn_sd, cond_frames): a
+    ControlNet (torch_controlnet mirror) runs on every pass's 3-stream
+    batch with the per-frame conditioning image repeated per stream, its
+    residuals fed to the UNet (the conditioned-editor composition,
+    cli/run_controlnet.py)."""
     betas = (
         torch.linspace(0.00085**0.5, 0.012**0.5, 1000, dtype=torch.float64)
         ** 2
@@ -301,15 +315,41 @@ def torch_edit_loop(
             "pivot_h": {},
             "kf_attn": {},
         }
-        inp = torch.cat([src[piv], x[piv], x[piv]])
-        torch_unet_edit(inp, t, embeds(len(piv)), sd, cfg, state)  # discard
+        def cn_residuals(inp, cond_sel, e):
+            if cn is None:
+                return None
+            cn_sd, cond = cn
+            tb = torch.full((inp.shape[0],), t)
+            return torch_controlnet(
+                inp, tb, e, torch.cat([cond[cond_sel]] * 3), cn_sd, cfg
+            )
+
+        def wd(z, sel):
+            # depth-conditioned UNet: per-frame depth map concatenated to
+            # the latent channels of EVERY stream (the reference cats the
+            # depth to each batch segment, run_tokenflow_pnp.py:200-201)
+            if depth is None:
+                return z
+            return torch.cat([z, depth[sel]], dim=1)
+
+        inp = torch.cat([wd(src[piv], piv), wd(x[piv], piv), wd(x[piv], piv)])
+        e_piv = embeds(len(piv))
+        torch_unet_edit(
+            inp, t, e_piv, sd, cfg, state,
+            residuals=cn_residuals(inp, piv, e_piv),
+        )  # discard
         state["pivotal"] = False
         new_x = []
         for wi, b0 in enumerate(range(0, f_total, ws)):
             state["batch_idx"] = wi
             xb = x[b0 : b0 + ws]
-            inp = torch.cat([src[b0 : b0 + ws], xb, xb])
-            pred = torch_unet_edit(inp, t, embeds(ws), sd, cfg, state)
+            sel = slice(b0, b0 + ws)
+            inp = torch.cat([wd(src[sel], sel), wd(xb, sel), wd(xb, sel)])
+            e_w = embeds(ws)
+            pred = torch_unet_edit(
+                inp, t, e_w, sd, cfg, state,
+                residuals=cn_residuals(inp, slice(b0, b0 + ws), e_w),
+            )
             _, u, c = pred.chunk(3)
             eps = u + g * (c - u)
             a_t = alphas_cumprod[t]
@@ -343,14 +383,49 @@ def stack():
     x0 = rng.standard_normal((F_TOTAL, 4, HW, HW)) * 0.8
     embeds = rng.standard_normal((3, 7, cfg.cross_attention_dim)) * 0.5
 
-    def unet_apply(p, sample, t, ctx, edit):
-        return model.apply(p, sample, t, ctx, edit=edit)
+    def unet_apply(p, sample, t, ctx, edit, **kw):
+        return model.apply(p, sample, t, ctx, edit=edit, **kw)
 
     return cfg, sd, params, unet_apply, x0, embeds
 
 
-def _run_both(stack, steps, pnp_attn_t, pnp_f_t, pnp, start=None):
+def _run_both(
+    stack, steps, pnp_attn_t, pnp_f_t, pnp, start=None, cn=False,
+    depth=False,
+):
     cfg, sd, params, unet_apply, x0, embeds = stack
+
+    depth_np = d_jax = d_torch = None
+    if depth:
+        depth_np = (
+            np.random.default_rng(88).standard_normal((F_TOTAL, 1, HW, HW))
+            * 0.7
+        )
+        d_jax = jnp.asarray(depth_np.transpose(0, 2, 3, 1), jnp.float32)
+        d_torch = torch.tensor(depth_np, dtype=torch.float64)
+
+    controlnet_fn = cond_image = cn_pair = None
+    if cn:
+        from tokenflow_tpu.models.controlnet import ControlNetModel
+
+        cn_sd = _build_controlnet_sd(cfg, seed=23)
+        cn_params = W.convert_controlnet_state_dict(
+            {k: v.numpy().astype(np.float32) for k, v in cn_sd.items()}
+        )
+        cn_model = ControlNetModel(cfg)
+        cond_np = (
+            np.random.default_rng(77).standard_normal(
+                (F_TOTAL, 3, HW * 8, HW * 8)
+            )
+            * 0.5
+        )
+
+        def controlnet_fn(sample, t, ctx, cond):
+            return cn_model.apply({"params": cn_params}, sample, t, ctx, cond)
+
+        cond_image = jnp.asarray(cond_np.transpose(0, 2, 3, 1), jnp.float32)
+        cn_pair = (cn_sd, torch.tensor(cond_np, dtype=torch.float64))
+
     sched_full = ddim.make_schedule(steps)
     sched = (
         ddim.truncate_schedule(sched_full, start)
@@ -387,6 +462,9 @@ def _run_both(stack, steps, pnp_attn_t, pnp_f_t, pnp, start=None):
         pnp=pnp,
         rng=jax.random.PRNGKey(0),  # unused: pivots pinned
         pivot_indices=pivots,
+        controlnet_fn=controlnet_fn,
+        cond_image=cond_image,
+        depth=d_jax,
     )
     out = np.asarray(out).transpose(0, 3, 1, 2)
 
@@ -409,6 +487,7 @@ def _run_both(stack, steps, pnp_attn_t, pnp_f_t, pnp, start=None):
         1000 // steps,
         qk_sched, conv_sched,
         pivots, WS, 7.5,
+        cn=cn_pair, depth=d_torch,
     )
     return out, ref.numpy()
 
@@ -423,6 +502,48 @@ def test_composed_pnp_edit_matches_reference_semantics(stack):
     out2, ref2 = _run_both(stack, steps=3, pnp_attn_t=0.0, pnp_f_t=0.0, pnp=True)
     assert not np.allclose(ref2, ref, atol=2e-3)
     np.testing.assert_allclose(out2, ref2, rtol=2e-3, atol=2e-3)
+
+
+def test_composed_controlnet_edit_matches_reference_semantics(stack):
+    """ControlNet-conditioned composition (cli/run_controlnet.py): the
+    ControlNet runs on every 3-stream pass (pivotal AND propagation) with
+    the per-frame conditioning image replicated per stream, residuals
+    added to the UNet skips / mid output; extended attention + TokenFlow
+    propagation active, PnP injection off (the conditioned editor's
+    configuration)."""
+    out, ref = _run_both(
+        stack, steps=2, pnp_attn_t=0.0, pnp_f_t=0.0, pnp=False, cn=True
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_composed_depth_edit_matches_reference_semantics():
+    """Depth-conditioned composition (SD-2-depth family): per-frame depth
+    map concatenated to the latent channels of every stream on BOTH the
+    pivotal and propagation passes (reference run_tokenflow_pnp.py:63-64,
+    200-201), with PnP injection active — the 5-channel UNet through the
+    full composed loop."""
+    import dataclasses
+
+    cfg = dataclasses.replace(UNet2DConfig.tiny(), in_channels=5)
+    sd = _build_unet_sd(cfg, seed=41)
+    params = W.convert_unet_state_dict(
+        {k: v.numpy().astype(np.float32) for k, v in sd.items()}
+    )
+    model = UNet2DConditionModel(cfg)
+
+    def unet_apply(p, sample, t, ctx, edit, **kw):
+        return model.apply(p, sample, t, ctx, edit=edit, **kw)
+
+    rng = np.random.default_rng(42)
+    x0 = rng.standard_normal((F_TOTAL, 4, HW, HW)) * 0.8
+    embeds = rng.standard_normal((3, 7, cfg.cross_attention_dim)) * 0.5
+    depth_stack = (cfg, sd, params, unet_apply, x0, embeds)
+    out, ref = _run_both(
+        depth_stack, steps=2, pnp_attn_t=0.5, pnp_f_t=0.8, pnp=True,
+        depth=True,
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
 
 
 def test_composed_sdedit_matches_reference_semantics(stack):

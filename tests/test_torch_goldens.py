@@ -690,3 +690,165 @@ def test_full_unet_matches_torch(linear):
     )
     assert cache == {}
     np.testing.assert_allclose(eps, ref, rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# ControlNet (encoder half of the UNet + cond embedder + projection convs)
+# ---------------------------------------------------------------------------
+
+
+def _build_controlnet_sd(cfg, seed=12):
+    """diffusers ControlNetModel state dict (diffusers key names): the UNet
+    encoder half, the ControlNetConditioningEmbedding chain (channels
+    16->32->96->256, three stride-2 downsamples = the x8 latent factor),
+    and the per-skip 1x1 projection convs. The projections are zero-init in
+    a fresh diffusers model; random values here so the golden is
+    value-sensitive (trained checkpoints have non-zero values).
+    Reference consumer: preprocess.py:60-68,129-149."""
+    sd = _SD(seed)
+    chans = list(cfg.block_out_channels)
+    n = len(chans)
+    temb_dim = chans[0] * 4
+    sd.conv("conv_in", cfg.in_channels, chans[0])
+    sd.lin("time_embedding.linear_1", chans[0], temb_dim)
+    sd.lin("time_embedding.linear_2", temb_dim, temb_dim)
+    cond_ch = (16, 32, 96, 256)
+    sd.conv("controlnet_cond_embedding.conv_in", 3, cond_ch[0])
+    for i in range(len(cond_ch) - 1):
+        sd.conv(
+            f"controlnet_cond_embedding.blocks.{2 * i}",
+            cond_ch[i], cond_ch[i],
+        )
+        sd.conv(
+            f"controlnet_cond_embedding.blocks.{2 * i + 1}",
+            cond_ch[i], cond_ch[i + 1],
+        )
+    sd.conv("controlnet_cond_embedding.conv_out", cond_ch[-1], chans[0])
+    cin = chans[0]
+    skip_ch = [chans[0]]
+    for i, ch in enumerate(chans):
+        for j in range(cfg.layers_per_block):
+            sd.resnet(f"down_blocks.{i}.resnets.{j}", cin, ch, temb_dim)
+            cin = ch
+            if cfg.attn_down[i]:
+                sd.t2d(
+                    f"down_blocks.{i}.attentions.{j}", ch,
+                    cfg.cross_attention_dim, cfg.use_linear_projection,
+                )
+            skip_ch.append(ch)
+        if i < n - 1:
+            sd.conv(f"down_blocks.{i}.downsamplers.0.conv", ch, ch)
+            skip_ch.append(ch)
+    sd.resnet("mid_block.resnets.0", chans[-1], chans[-1], temb_dim)
+    sd.t2d(
+        "mid_block.attentions.0", chans[-1], cfg.cross_attention_dim,
+        cfg.use_linear_projection,
+    )
+    sd.resnet("mid_block.resnets.1", chans[-1], chans[-1], temb_dim)
+    for i, ch in enumerate(skip_ch):
+        sd.conv(f"controlnet_down_blocks.{i}", ch, ch, k=1)
+    sd.conv("controlnet_mid_block", chans[-1], chans[-1], k=1)
+    return sd
+
+
+def torch_controlnet(x, t, ctx, cond, sd, cfg, scale=1.0):
+    """diffusers ControlNetModel.forward semantics: encoder pass with the
+    cond embedding added after conv_in, each skip (and the mid output)
+    through its projection conv, everything scaled by
+    conditioning_scale."""
+    chans = list(cfg.block_out_channels)
+    n = len(chans)
+    temb = torch_timestep_embedding(
+        t, chans[0], cfg.flip_sin_to_cos, cfg.freq_shift
+    )
+    temb = _lin(temb, sd, "time_embedding.linear_1")
+    temb = _lin(F.silu(temb), sd, "time_embedding.linear_2")
+    h = _conv(x, sd, "conv_in")
+    c = F.silu(_conv(cond, sd, "controlnet_cond_embedding.conv_in"))
+    for i in range(3):
+        c = F.silu(
+            _conv(c, sd, f"controlnet_cond_embedding.blocks.{2 * i}")
+        )
+        c = F.silu(
+            _conv(
+                c, sd, f"controlnet_cond_embedding.blocks.{2 * i + 1}",
+                stride=2,
+            )
+        )
+    h = h + _conv(c, sd, "controlnet_cond_embedding.conv_out")
+    skips = [h]
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            h = torch_resnet(h, temb, sd, f"down_blocks.{i}.resnets.{j}")
+            if cfg.attn_down[i]:
+                h = torch_t2d(
+                    h, ctx, sd, f"down_blocks.{i}.attentions.{j}",
+                    cfg.num_heads[i], cfg.use_linear_projection,
+                )
+            skips.append(h)
+        if i < n - 1:
+            h = _conv(
+                h, sd, f"down_blocks.{i}.downsamplers.0.conv",
+                stride=2, padding=1,
+            )
+            skips.append(h)
+    h = torch_resnet(h, temb, sd, "mid_block.resnets.0")
+    h = torch_t2d(
+        h, ctx, sd, "mid_block.attentions.0", cfg.num_heads[-1],
+        cfg.use_linear_projection,
+    )
+    h = torch_resnet(h, temb, sd, "mid_block.resnets.1")
+    down = [
+        _conv(s, sd, f"controlnet_down_blocks.{i}", padding=0) * scale
+        for i, s in enumerate(skips)
+    ]
+    mid = _conv(h, sd, "controlnet_mid_block", padding=0) * scale
+    return down, mid
+
+
+def test_full_controlnet_matches_torch():
+    """Complete tiny ControlNet through convert_controlnet_state_dict —
+    cond-embedding chain, encoder skips, projection convs — value-level vs
+    the torch mirror (previously ControlNet had only shape/zero-init
+    tests)."""
+    from tokenflow_tpu.models.controlnet import ControlNetModel
+
+    cfg = UNet2DConfig.tiny()
+    sd = _build_controlnet_sd(cfg, seed=12)
+    model = ControlNetModel(cfg)
+
+    hw = 16
+    x = sd._t(2, cfg.in_channels, hw, hw)
+    t = torch.tensor([981, 21])
+    ctx = sd._t(2, 7, cfg.cross_attention_dim)
+    cond = sd._t(2, 3, hw * 8, hw * 8, scale=0.5)
+    ref_down, ref_mid = torch_controlnet(x, t, ctx, cond, sd, cfg, scale=0.7)
+
+    params = W.convert_controlnet_state_dict(_to_np(sd))
+    expected = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, hw, hw, cfg.in_channels), jnp.float32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((1, 7, cfg.cross_attention_dim), jnp.float32),
+            jnp.zeros((1, hw * 8, hw * 8, 3), jnp.float32),
+        )
+    )
+    W.assert_params_match(params, expected["params"])
+
+    down, mid = model.apply(
+        {"params": params},
+        _nhwc(x),
+        jnp.asarray(t.numpy()),
+        jnp.asarray(ctx.numpy(), jnp.float32),
+        _nhwc(cond),
+        conditioning_scale=0.7,
+    )
+    assert len(down) == len(ref_down)
+    for got, want in zip(down, ref_down):
+        np.testing.assert_allclose(
+            got, _nchw_ref(want), rtol=2e-3, atol=2e-4
+        )
+    np.testing.assert_allclose(
+        mid, _nchw_ref(ref_mid), rtol=2e-3, atol=2e-4
+    )
