@@ -44,6 +44,10 @@ def inverted(workdir):
                 "--batch_size", str(F),
                 "--inversion_prompt", "a test clip",
                 "--export_pt",
+                # segmented dispatch (uneven tail: 8 = 3+3+2); identical
+                # math to one dispatch — tests/test_pipeline.py proves
+                # the parity, this exercises the CLI wiring
+                "--steps_per_dispatch", "3",
             ]
         )
         result = preprocess_cli.run(opt)
@@ -92,6 +96,9 @@ def test_pnp_edit_e2e(inverted, tmp_path):
             "pnp_attn_t": 0.5,
             "pnp_f_t": 0.8,
             "image_size": HW,
+            # 4 steps in 3+1 dispatches (uneven tail) — CLI wiring of
+            # pipeline.split_schedule
+            "steps_per_dispatch": 3,
         }
         config = run_pnp.resolve_output_path(config)
         os.makedirs(config["output_path"], exist_ok=True)

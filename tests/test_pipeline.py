@@ -250,3 +250,75 @@ def test_validate_pivot_indices_rejects_bad_tables():
         pipeline.validate_pivot_indices(
             np.asarray([[2, 2], [0, 3]], np.int32), 2, 2, 2
         )
+
+
+def test_segmented_dispatch_matches_single(tiny):
+    """split_schedule segments with the carry threaded == one scan
+    (the segmented-dispatch form bounding per-program execution time;
+    PERF.md round 3). Pivots pinned so both forms draw identically."""
+    f, ws, steps = 4, 2, 5
+    (model, params, x_init, traj, embeds3, schedule, unet_apply) = _edit_setup(
+        tiny, f, ws, steps
+    )
+    pivots = np.asarray(
+        pipeline.choose_pivots(jax.random.PRNGKey(3), steps, f // ws, ws)
+    )
+    kw = dict(
+        window_size=ws, guidance_scale=7.5, pnp=True,
+        rng=jax.random.PRNGKey(1),
+    )
+    single = pipeline.tokenflow_sample_loop(
+        unet_apply, params, x_init, traj, embeds3, schedule,
+        pivot_indices=pivots, **kw,
+    )
+    x = x_init
+    for s, sched_seg in zip(
+        range(0, steps, 2), pipeline.split_schedule(schedule, 2)
+    ):
+        x = pipeline.tokenflow_sample_loop(
+            unet_apply, params, x, traj, embeds3, sched_seg,
+            pivot_indices=pivots[s : s + 2], **kw,
+        )
+    np.testing.assert_allclose(np.asarray(single), np.asarray(x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_segmented_inversion_matches_single(tiny):
+    model, params, cfg, hw = tiny
+    f, steps, save_steps = 2, 6, 3
+    sched = ddim.make_schedule(steps)
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.standard_normal((f, hw, hw, 4)) * 0.3, jnp.float32)
+    cond = jnp.asarray(
+        rng.standard_normal((1, 7, cfg.cross_attention_dim)), jnp.float32
+    )
+
+    def eps_fn(x, t):
+        ctx = jnp.broadcast_to(cond, (x.shape[0], *cond.shape[1:]))
+        return model.apply(params, x, t, ctx)[0]
+
+    x_T, traj, save_ts = inversion.ddim_inversion(eps_fn, x0, sched, save_steps)
+
+    xs, save_ts2 = inversion.inversion_xs(sched, save_steps)
+    np.testing.assert_array_equal(save_ts, save_ts2)
+    x_seg = x0
+    traj_seg = jnp.zeros((save_steps, *x0.shape), x0.dtype)
+    for s in range(0, steps, 4):  # uneven tail (4 + 2)
+        x_seg, traj_seg = inversion.invert_scan(
+            eps_fn, x_seg, traj_seg, tuple(a[s : s + 4] for a in xs)
+        )
+    np.testing.assert_allclose(np.asarray(x_T), np.asarray(x_seg),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(traj_seg),
+                               rtol=1e-6, atol=1e-7)
+
+    # reconstruction: segmented == single
+    rec = inversion.ddim_reconstruction(eps_fn, x_T, sched)
+    rxs = inversion.reconstruction_xs(sched)
+    r_seg = x_seg
+    for s in range(0, steps, 4):
+        r_seg = inversion.recon_scan(
+            eps_fn, r_seg, tuple(a[s : s + 4] for a in rxs)
+        )
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(r_seg),
+                               rtol=1e-6, atol=1e-7)

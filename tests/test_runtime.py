@@ -88,3 +88,20 @@ def test_vae_mapped_chunking_matches_host_loop(stack):
     )
     np.testing.assert_allclose(np.asarray(out_dec), np.asarray(ref_dec),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_load_stack_process_cache():
+    """Chained stages in one process share one stack (HBM: two full param
+    sets at 768p crashed the TPU worker — PERF.md round 3); cache=False
+    opts out."""
+    a = runtime.load_stack("tiny", init="random", dtype=jnp.float32,
+                           param_dtype=jnp.float32, seed=7)
+    b = runtime.load_stack("tiny", init="random", dtype=jnp.float32,
+                           param_dtype=jnp.float32, seed=7)
+    assert a is b
+    c = runtime.load_stack("tiny", init="random", dtype=jnp.float32,
+                           param_dtype=jnp.float32, seed=8)
+    assert c is not a  # different seed -> different params
+    d = runtime.load_stack("tiny", init="random", dtype=jnp.float32,
+                           param_dtype=jnp.float32, seed=7, cache=False)
+    assert d is not a

@@ -186,6 +186,42 @@ def resolve_pivots(
     return pivots
 
 
+def schedule_segments(
+    config: dict, schedule, pivots: np.ndarray | None = None
+) -> list:
+    """Edit-loop dispatch plan: [(schedule_segment, pivot_segment), ...].
+
+    Config key ``steps_per_dispatch`` (int) splits the jit-scanned edit
+    into several device dispatches with the latents carried through —
+    numerically IDENTICAL to the single dispatch (pipeline.split_schedule)
+    but bounding each device program's execution time. Needed on rigs
+    whose runtime kills long single executions (the axon relay here kills
+    ~>60 s programs — PERF.md round 3: the 768p 50-step edit is ~84 s in
+    one dispatch and crashes, 10-step segments run); also gives host-side
+    progress/checkpoint points. Pick seg_len so the longest segment stays
+    well under the limit (segments of equal length share one compiled
+    program; an uneven tail compiles once more). Default: one dispatch.
+    """
+    from tokenflow_tpu.editing import pipeline
+
+    seg_len = int(config.get("steps_per_dispatch") or 0)
+    n = len(schedule.timesteps)
+    if seg_len <= 0 or seg_len >= n:
+        return [(schedule, pivots)]
+    scheds = pipeline.split_schedule(schedule, seg_len)
+    if pivots is None:
+        pivs = [None] * len(scheds)
+    else:
+        pivs = [
+            pivots[s : s + seg_len] for s in range(0, n, seg_len)
+        ]
+    print(
+        f"[tokenflow-tpu] edit loop in {len(scheds)} dispatches of "
+        f"<= {seg_len} steps"
+    )
+    return list(zip(scheds, pivs))
+
+
 def dump_config(config: dict) -> None:
     os.makedirs(config["output_path"], exist_ok=True)
     with open(os.path.join(config["output_path"], "config.yaml"), "w") as f:

@@ -175,34 +175,63 @@ def _run(opt) -> dict:
     )
     all_params = {"unet": stack.unet_params, "cn": cn_params}
 
-    def _jit(fn, n_out_frame_sharded):
+    def _jit(fn, n_out_frame_sharded, extra_args=0):
+        """jit with frames-mesh shardings. Signature convention:
+        (params, x[, traj][, xs]) — x frame-sharded, traj sharded on its
+        frame axis 1, the per-step xs tables replicated."""
         if mesh is None:
             return jax.jit(fn)
         from tokenflow_tpu.sharding import mesh as mesh_lib
 
         fsh = mesh_lib.frames_sharding(mesh)
+        f1sh = mesh_lib.frames_sharding(mesh, frame_axis=1)
         repl = mesh_lib.replicated(mesh)
-        outs = {
-            1: fsh,
-            3: (fsh, mesh_lib.frames_sharding(mesh, frame_axis=1), None),
-        }[n_out_frame_sharded]
+        outs = {1: fsh, 2: (fsh, f1sh)}[n_out_frame_sharded]
+        extra = {0: (), 1: (repl,), 2: (f1sh, repl)}[extra_args]
         return jax.jit(
             fn,
             in_shardings=(
-                jax.tree.map(lambda _: repl, all_params), fsh
+                jax.tree.map(lambda _: repl, all_params), fsh, *extra
             ),
             out_shardings=outs,
         )
 
+    # dispatch plan: one jitted scan by default; --steps_per_dispatch N
+    # splits it into several executions of one shared program with the
+    # (x, traj) carry threaded — identical math, bounded per-program
+    # execution time (the axon relay kills ~>60 s single executions —
+    # PERF.md round 3; the reference-default 500-step inversion is ~157 s
+    # at 512p in one program)
+    spd = int(getattr(opt, "steps_per_dispatch", 0) or 0)
+    xs_np, save_ts = inversion.inversion_xs(sched, opt.save_steps)
+
+    def xs_segments(xs_arrays):
+        n = len(xs_arrays[0])
+        if spd <= 0 or spd >= n:
+            return [xs_arrays]
+        return [
+            tuple(a[s : s + spd] for a in xs_arrays)
+            for s in range(0, n, spd)
+        ]
+
     with utils.Timer() as t_inv:
         invert = _jit(
-            lambda params, x: inversion.ddim_inversion(
-                lambda xx, tt: eps_fn(params, xx, tt),
-                x, sched, opt.save_steps,
+            lambda params, x, traj, xs: inversion.invert_scan(
+                lambda xx, tt: eps_fn(params, xx, tt), x, traj, xs
             ),
-            3,
+            2,
+            extra_args=2,
         )
-        x_T, traj, save_ts = invert(all_params, lat)
+        x_T = lat
+        traj = jnp.zeros((opt.save_steps, *lat.shape), lat.dtype)
+        segs = xs_segments(xs_np)
+        if len(segs) > 1:
+            print(
+                f"[tokenflow-tpu] inversion in {len(segs)} dispatches "
+                f"of <= {spd} steps"
+            )
+        for xs_seg in segs:
+            x_T, traj = invert(all_params, x_T, traj, xs_seg)
         utils.force_completion(x_T)
     print(f"[tokenflow-tpu] inversion ({opt.steps} steps): {t_inv.seconds:.1f}s")
 
@@ -226,12 +255,15 @@ def _run(opt) -> dict:
 
     with utils.Timer() as t_rec:
         recon = _jit(
-            lambda params, x: inversion.ddim_reconstruction(
-                lambda xx, tt: eps_fn(params, xx, tt), x, sched
+            lambda params, x, xs: inversion.recon_scan(
+                lambda xx, tt: eps_fn(params, xx, tt), x, xs
             ),
             1,
+            extra_args=1,
         )
-        lat_rec = recon(all_params, x_T)
+        lat_rec = x_T
+        for xs_seg in xs_segments(inversion.reconstruction_xs(sched)):
+            lat_rec = recon(all_params, lat_rec, xs_seg)
         utils.force_completion(lat_rec)
     print(f"[tokenflow-tpu] reconstruction: {t_rec.seconds:.1f}s")
 
@@ -296,6 +328,15 @@ def build_parser() -> argparse.ArgumentParser:
         default="auto",
         help="shard frames over a device mesh for inversion/VAE "
         "('auto' = all local devices, N = first N, 'off')",
+    )
+    p.add_argument(
+        "--steps_per_dispatch",
+        type=int,
+        default=0,
+        help="split the inversion/reconstruction scans into device "
+        "dispatches of N steps (identical math; bounds per-program "
+        "execution time — rigs with an execution watchdog need the "
+        "longest dispatch under the limit). 0 = one dispatch",
     )
     return p
 

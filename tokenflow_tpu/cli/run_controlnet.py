@@ -67,7 +67,7 @@ def _edit_video(config: dict) -> np.ndarray:
         config, rng, len(schedule.timesteps), config["n_frames"]
     )
 
-    def loop_fn(params, cn_p, x0, traj, embeds3, pivots, canny):
+    def loop_fn(params, cn_p, x0, traj, embeds3, pivots, canny, sched_seg):
         # the ControlNet apply closure is built INSIDE the traced function
         # so cn_p stays a traced argument (see build_controlnet docstring)
         def cn_fn(sample, t, ctx, cond):
@@ -79,7 +79,7 @@ def _edit_video(config: dict) -> np.ndarray:
             x0,
             traj,
             embeds3,
-            schedule,
+            sched_seg,
             window_size=config["batch_size"],
             guidance_scale=config["guidance_scale"],
             pnp=False,
@@ -108,19 +108,26 @@ def _edit_video(config: dict) -> np.ndarray:
                 repl,
                 repl,
                 fsh,  # canny conditioning frames shard with their frames
+                jax.tree.map(lambda _: repl, schedule),
             ),
             out_shardings=fsh,
         )
     with utils.Timer() as t_edit:
-        latents_out = loop(
-            data.stack.unet_params,
-            cn_params,
-            x_init.astype(data.stack.dtype),
-            jnp.asarray(data.trajectory.traj, data.stack.dtype),
-            data.embeds3,
-            jnp.asarray(pivots),
-            canny,
-        )
+        latents_out = x_init.astype(data.stack.dtype)
+        traj_dev = jnp.asarray(data.trajectory.traj, data.stack.dtype)
+        for sched_seg, piv_seg in common.schedule_segments(
+            config, schedule, pivots
+        ):
+            latents_out = loop(
+                data.stack.unet_params,
+                cn_params,
+                latents_out,
+                traj_dev,
+                data.embeds3,
+                jnp.asarray(piv_seg),
+                canny,
+                sched_seg,
+            )
         utils.force_completion(latents_out)
     print(
         f"[tokenflow-tpu] ControlNet edit loop "

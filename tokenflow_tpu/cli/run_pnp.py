@@ -71,14 +71,14 @@ def _edit_video(config: dict) -> np.ndarray:
         config, rng, len(schedule.timesteps), config["n_frames"]
     )
 
-    def loop_fn(params, x0, traj, embeds3, pivots, depth):
+    def loop_fn(params, x0, traj, embeds3, pivots, sched_seg, depth):
         return pipeline.tokenflow_sample_loop(
             data.stack.unet_apply,
             params,
             x0,
             traj,
             embeds3,
-            schedule,  # host-side tables, baked into the trace
+            sched_seg,  # traced tables: every segment shares one program
             window_size=config["batch_size"],
             guidance_scale=config["guidance_scale"],
             pnp=True,
@@ -108,20 +108,26 @@ def _edit_video(config: dict) -> np.ndarray:
                 mesh_lib.frames_sharding(mesh, frame_axis=1),
                 repl,
                 repl,
+                jax.tree.map(lambda _: repl, schedule),
                 None if depth is None else fsh,
             ),
             out_shardings=fsh,
         )
+    segments = common.schedule_segments(config, schedule, pivots)
     with profiling.trace(os.environ.get("TOKENFLOW_TRACE_DIR")):
         with metrics.phase("edit_loop"), utils.Timer() as t_edit:
-            latents_out = loop(
-                data.stack.unet_params,
-                x_init.astype(data.stack.dtype),
-                jnp.asarray(data.trajectory.traj, data.stack.dtype),
-                data.embeds3,
-                jnp.asarray(pivots),
-                depth,
-            )
+            latents_out = x_init.astype(data.stack.dtype)
+            traj_dev = jnp.asarray(data.trajectory.traj, data.stack.dtype)
+            for sched_seg, piv_seg in segments:
+                latents_out = loop(
+                    data.stack.unet_params,
+                    latents_out,
+                    traj_dev,
+                    data.embeds3,
+                    jnp.asarray(piv_seg),
+                    sched_seg,
+                    depth,
+                )
             utils.force_completion(latents_out)
     n_steps = len(schedule.timesteps)
     fps = config["n_frames"] / t_edit.seconds

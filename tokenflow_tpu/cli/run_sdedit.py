@@ -72,18 +72,22 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
     )
 
     if vanilla:
-        def vloop_fn(params, x0, embeds2):
+        def vloop_fn(params, x0, embeds2, sched_seg):
             return pipeline.vanilla_sample_loop(
-                data.stack.unet_apply, params, x0, embeds2, schedule,
+                data.stack.unet_apply, params, x0, embeds2, schedule=sched_seg,
                 guidance_scale=config["guidance_scale"],
                 frame_chunk=config["batch_size"],
             )
 
-        out_lat = jax.jit(vloop_fn)(
-            data.stack.unet_params,
-            x_init.astype(data.stack.dtype),
-            data.embeds3[1:],  # [uncond, cond]
-        )
+        vloop = jax.jit(vloop_fn)
+        out_lat = x_init.astype(data.stack.dtype)
+        for sched_seg, _ in common.schedule_segments(config, schedule):
+            out_lat = vloop(
+                data.stack.unet_params,
+                out_lat,
+                data.embeds3[1:],  # [uncond, cond]
+                sched_seg,
+            )
         decoded = np.asarray(
             data.stack.decode_latents(out_lat, batch=common.VAE_BATCH_SIZE)
         )
@@ -105,14 +109,14 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
         config, rng, len(schedule.timesteps), config["n_frames"]
     )
 
-    def loop_fn(params, x0, traj, embeds3, pivots):
+    def loop_fn(params, x0, traj, embeds3, pivots, sched_seg):
         return pipeline.tokenflow_sample_loop(
             data.stack.unet_apply,
             params,
             x0,
             traj,
             embeds3,
-            schedule,
+            sched_seg,
             window_size=config["batch_size"],
             guidance_scale=config["guidance_scale"],
             pnp=False,  # extended attention only, no injection
@@ -138,17 +142,24 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
                 mesh_lib.frames_sharding(mesh, frame_axis=1),
                 repl,
                 repl,
+                jax.tree.map(lambda _: repl, schedule),
             ),
             out_shardings=fsh,
         )
     with utils.Timer() as t_edit:
-        latents_out = loop(
-            data.stack.unet_params,
-            x_init.astype(data.stack.dtype),
-            jnp.asarray(data.trajectory.traj, data.stack.dtype),
-            data.embeds3,
-            jnp.asarray(pivots),
-        )
+        latents_out = x_init.astype(data.stack.dtype)
+        traj_dev = jnp.asarray(data.trajectory.traj, data.stack.dtype)
+        for sched_seg, piv_seg in common.schedule_segments(
+            config, schedule, pivots
+        ):
+            latents_out = loop(
+                data.stack.unet_params,
+                latents_out,
+                traj_dev,
+                data.embeds3,
+                jnp.asarray(piv_seg),
+                sched_seg,
+            )
         utils.force_completion(latents_out)
     print(
         f"[tokenflow-tpu] SDEdit loop ({len(schedule.timesteps)} steps): "

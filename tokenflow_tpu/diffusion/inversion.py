@@ -44,6 +44,48 @@ def chunked_eps_fn(eps_fn: EpsFn, frame_chunk: int | None) -> EpsFn:
     return fn
 
 
+def inversion_xs(
+    sched: ddim.DDIMSchedule, save_steps: int
+) -> tuple[tuple[np.ndarray, ...], np.ndarray]:
+    """Host-side per-step tables for the inversion scan:
+    ((alpha_t, alpha_prev, t_asc, save_mask, save_slot), save_ts)."""
+    save_ts, save_mask, save_slot = ddim.save_grid(
+        sched.num_inference_steps, save_steps, sched.num_train_timesteps
+    )
+    alpha_t, alpha_prev = sched.inversion_alphas()
+    t_asc = np.ascontiguousarray(sched.timesteps[::-1]).astype(np.int32)
+    return (alpha_t, alpha_prev, t_asc, save_mask, save_slot), save_ts
+
+
+def invert_scan(
+    eps_fn: EpsFn,
+    x: jax.Array,  # (F, h, w, 4)
+    traj: jax.Array,  # (n_save, F, h, w, 4) — carried save-grid buffer
+    xs: tuple,  # (a_t, a_prev, t, mask, slot), each (T_seg,)
+    *,
+    frame_chunk: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Jittable inversion scan over an arbitrary CONTIGUOUS slice of the
+    per-step tables, carrying (x, traj). Scanning the full tables in one
+    call is :func:`ddim_inversion`; scanning slices sequentially with the
+    carry threaded is the segmented-dispatch form (exact same math —
+    bounds single-program execution time, see pipeline.split_schedule)."""
+    eps_fn = chunked_eps_fn(eps_fn, frame_chunk)
+
+    def body(carry, step):
+        x, traj = carry
+        a_t, a_prev, t, mask, slot = step
+        eps = eps_fn(x, t)
+        x = ddim.ddim_invert_step(x, eps, a_t, a_prev).astype(x.dtype)
+        traj = traj.at[slot].set(jnp.where(mask, x, traj[slot]))
+        return (x, traj), None
+
+    (x, traj), _ = jax.lax.scan(
+        body, (x, traj), tuple(jnp.asarray(a) for a in xs)
+    )
+    return x, traj
+
+
 def ddim_inversion(
     eps_fn: EpsFn,
     latents: jax.Array,
@@ -60,38 +102,48 @@ def ddim_inversion(
 
     Returns (x_T, trajectory, save_timesteps):
       x_T:            (F, h, w, 4) final inverted latents (reference's
-                      trailing ``noisy_latents_{t_final}.pt`` save,
+                      trailing ``noisy_latents_{t}.pt`` save,
                       preprocess.py:229).
       trajectory:     (n_save, F, h, w, 4), trajectory[i] = latents at
                       save_timesteps[i] (ascending).
       save_timesteps: (n_save,) host numpy, ascending.
     """
-    save_ts, save_mask, save_slot = ddim.save_grid(
-        sched.num_inference_steps, save_steps, sched.num_train_timesteps
+    xs, save_ts = inversion_xs(sched, save_steps)
+    traj0 = jnp.zeros((save_steps, *latents.shape), latents.dtype)
+    x_final, traj = invert_scan(
+        eps_fn, latents, traj0, xs, frame_chunk=frame_chunk
     )
-    alpha_t, alpha_prev = sched.inversion_alphas()
-    t_asc = sched.timesteps[::-1].astype(np.int32)
+    return x_final, traj, save_ts
+
+
+def reconstruction_xs(
+    sched: ddim.DDIMSchedule,
+) -> tuple[np.ndarray, ...]:
+    """Host-side per-step tables for the reconstruction scan."""
+    alpha_t, alpha_prev = sched.recon_alphas()
+    t_desc = sched.timesteps.astype(np.int32)
+    return alpha_t, alpha_prev, t_desc
+
+
+def recon_scan(
+    eps_fn: EpsFn,
+    x: jax.Array,
+    xs: tuple,  # (a_t, a_prev, t), each (T_seg,)
+    *,
+    frame_chunk: int | None = None,
+) -> jax.Array:
+    """Jittable reconstruction scan over a contiguous table slice
+    (segmented-dispatch form of :func:`ddim_reconstruction`)."""
     eps_fn = chunked_eps_fn(eps_fn, frame_chunk)
 
-    traj0 = jnp.zeros((save_steps, *latents.shape), latents.dtype)
-
-    def body(carry, xs):
-        x, traj = carry
-        a_t, a_prev, t, mask, slot = xs
+    def body(x, step):
+        a_t, a_prev, t = step
         eps = eps_fn(x, t)
-        x = ddim.ddim_invert_step(x, eps, a_t, a_prev).astype(x.dtype)
-        traj = traj.at[slot].set(jnp.where(mask, x, traj[slot]))
-        return (x, traj), None
+        x = ddim.ddim_step(x, eps, a_t, a_prev).astype(x.dtype)
+        return x, None
 
-    xs = (
-        jnp.asarray(alpha_t),
-        jnp.asarray(alpha_prev),
-        jnp.asarray(t_asc),
-        jnp.asarray(save_mask),
-        jnp.asarray(save_slot),
-    )
-    (x_final, traj), _ = jax.lax.scan(body, (latents, traj0), xs)
-    return x_final, traj, save_ts
+    x0, _ = jax.lax.scan(body, x, tuple(jnp.asarray(a) for a in xs))
+    return x0
 
 
 def ddim_reconstruction(
@@ -103,20 +155,6 @@ def ddim_reconstruction(
 ) -> jax.Array:
     """Sample back from inverted noise (the reference's inversion sanity
     check, preprocess.py:232-261 -> inverted.mp4)."""
-    alpha_t, alpha_prev = sched.recon_alphas()
-    t_desc = sched.timesteps.astype(np.int32)
-    eps_fn = chunked_eps_fn(eps_fn, frame_chunk)
-
-    def body(x, xs):
-        a_t, a_prev, t = xs
-        eps = eps_fn(x, t)
-        x = ddim.ddim_step(x, eps, a_t, a_prev).astype(x.dtype)
-        return x, None
-
-    xs = (
-        jnp.asarray(alpha_t),
-        jnp.asarray(alpha_prev),
-        jnp.asarray(t_desc),
+    return recon_scan(
+        eps_fn, x_T, reconstruction_xs(sched), frame_chunk=frame_chunk
     )
-    x0, _ = jax.lax.scan(body, x_T, xs)
-    return x0

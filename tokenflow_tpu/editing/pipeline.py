@@ -31,6 +31,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from tokenflow_tpu.diffusion import ddim
 from tokenflow_tpu.ops import editctx
@@ -80,9 +81,15 @@ class PivotalShardings:
         }
 
 
-@dataclasses.dataclass(frozen=True)
+@struct.dataclass
 class EditSchedule:
-    """Host-side per-step tables driving the edit scan."""
+    """Per-step tables driving the edit scan.
+
+    A pytree (flax.struct.dataclass), so it can either be closed over
+    (tables baked into the trace as constants — the single-dispatch
+    default) or passed as a jit ARGUMENT — the segmented-dispatch path
+    (:func:`split_schedule`), where every equal-length segment must share
+    one executable."""
 
     timesteps: np.ndarray  # (T,) descending
     alpha_t: np.ndarray  # (T,)
@@ -90,6 +97,32 @@ class EditSchedule:
     src_slot: np.ndarray  # (T,) index into the latent trajectory
     qk_gate: np.ndarray  # (T,) bool
     conv_gate: np.ndarray  # (T,) bool
+
+
+def split_schedule(
+    schedule: EditSchedule, seg_len: int
+) -> list[EditSchedule]:
+    """Host-side split of the per-step tables into contiguous segments of
+    at most ``seg_len`` steps.
+
+    ``lax.scan`` over the concatenated tables == sequential scans over
+    the segments with the carry threaded through, so running
+    :func:`tokenflow_sample_loop` per segment (feeding each segment the
+    previous segment's output latents) is EXACTLY the single-dispatch
+    edit — the decomposition exists to bound single-device-program
+    execution time (long dispatches trip the axon relay's execution
+    watchdog at ~60 s; PERF.md round 3) and to surface host-side
+    progress/checkpoint points mid-edit."""
+    if seg_len <= 0:
+        raise ValueError(f"seg_len must be positive, got {seg_len}")
+    n = len(schedule.timesteps)
+    fields = [f.name for f in dataclasses.fields(EditSchedule)]
+    return [
+        EditSchedule(
+            **{k: getattr(schedule, k)[s : min(s + seg_len, n)] for k in fields}
+        )
+        for s in range(0, n, seg_len)
+    ]
 
 
 def make_edit_schedule(

@@ -352,6 +352,9 @@ def validate_checkpoint_configs(
         )
 
 
+_STACK_CACHE: dict = {}
+
+
 def load_stack(
     sd_version: str,
     *,
@@ -360,6 +363,45 @@ def load_stack(
     param_dtype: Any = jnp.bfloat16,
     init: str = "auto",  # "auto" | "pretrained" | "random"
     seed: int = 0,
+    cache: bool = True,
+) -> SDStack:
+    """Build (or fetch) the SD model stack.
+
+    ``cache=True`` (default) returns one shared SDStack per distinct
+    (version, resolved checkpoint, dtypes, init, seed) within the
+    process. Chained stages in one process — ``api.invert`` then
+    ``api.edit_pnp``, or a combined preprocess+edit driver — would
+    otherwise hold TWO full param sets (~1.8 GB bf16 each) plus two
+    executable sets in HBM; at 768p that margin is the difference
+    between fitting and crashing the TPU worker (measured: the combined
+    config-5 driver crashed in the edit scan, while each stage alone
+    runs — PERF.md round 3). Sharing also reuses the per-stack jitted
+    VAE/apply caches. Pass ``cache=False`` for an isolated stack.
+    """
+    found_for_key = resolve_model_dir(sd_version, model_dir)
+    key = (
+        sd_version, found_for_key, jnp.dtype(dtype).name,
+        jnp.dtype(param_dtype).name, init, seed,
+    )
+    if cache and key in _STACK_CACHE:
+        return _STACK_CACHE[key]
+    stack = _build_stack(
+        sd_version, model_dir=model_dir, dtype=dtype,
+        param_dtype=param_dtype, init=init, seed=seed,
+    )
+    if cache:
+        _STACK_CACHE[key] = stack
+    return stack
+
+
+def _build_stack(
+    sd_version: str,
+    *,
+    model_dir: Optional[str],
+    dtype: Any,
+    param_dtype: Any,
+    init: str,
+    seed: int,
 ) -> SDStack:
     unet_cfg, vae_cfg, clip_cfg = configs_for(sd_version)
     unet = UNet2DConditionModel(unet_cfg, dtype=dtype, param_dtype=param_dtype)
