@@ -86,15 +86,47 @@ def worker():
     # two-pass is the default (fused stays available via BENCH_FUSED=1)
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
 
-    def loop_fn(params, x0, tr, e3, key):
-        return pipeline.tokenflow_sample_loop(
-            stack.unet_apply, params, x0, tr, e3, schedule,
-            window_size=window, guidance_scale=7.5, pnp=True,
-            rng=key, propagate_chunk=chunk, fused=fused,
-        )
-
-    loop = jax.jit(loop_fn)
+    # BENCH_SEG=N splits the scan into N-step dispatches (identical math,
+    # pipeline.split_schedule) — the safety net on rigs whose runtime
+    # kills long single executions (the axon relay kills ~>60 s; the
+    # default 50-step 512p dispatch measures 48 s, within margin but
+    # close — PERF.md round 3)
+    seg = int(os.environ.get("BENCH_SEG", "0"))
     key = jax.random.PRNGKey(0)
+    if seg:
+        n_steps = len(schedule.timesteps)
+        pivots = pipeline.choose_pivots(
+            key, n_steps, f_total // window, window
+        )
+        seg_tables = pipeline.split_schedule(schedule, seg)
+        piv_tables = [
+            pivots[s : s + seg] for s in range(0, n_steps, seg)
+        ]
+
+        def seg_fn(params, x0, tr, e3, piv, sched_seg):
+            return pipeline.tokenflow_sample_loop(
+                stack.unet_apply, params, x0, tr, e3, sched_seg,
+                window_size=window, guidance_scale=7.5, pnp=True,
+                rng=key, propagate_chunk=chunk, fused=fused,
+                pivot_indices=piv,
+            )
+
+        seg_jit = jax.jit(seg_fn)
+
+        def loop(params, x0, tr, e3, _key):
+            x = x0
+            for ss, pv in zip(seg_tables, piv_tables):
+                x = seg_jit(params, x, tr, e3, pv, ss)
+            return x
+    else:
+        def loop_fn(params, x0, tr, e3, key):
+            return pipeline.tokenflow_sample_loop(
+                stack.unet_apply, params, x0, tr, e3, schedule,
+                window_size=window, guidance_scale=7.5, pnp=True,
+                rng=key, propagate_chunk=chunk, fused=fused,
+            )
+
+        loop = jax.jit(loop_fn)
 
     def sync(o):
         # block_until_ready is a no-op under the axon TPU relay; force
@@ -227,6 +259,10 @@ VARIANTS = [
     # (compile cache makes the retry cheap)
     ("two-pass-kernels", {}),
     ("two-pass-kernels-retry", {}),
+    # segmented dispatch: same math, bounded per-program execution time —
+    # survives the relay's ~60 s execution watchdog if the single 48 s
+    # dispatch ever drifts over it (PERF.md round 3)
+    ("two-pass-kernels-seg25", {"BENCH_SEG": "25"}),
     ("flash-only", {"TOKENFLOW_PALLAS_MATCH": "0"}),
     ("jnp", {"TOKENFLOW_PALLAS": "0"}),
     ("jnp-chunked", {"TOKENFLOW_PALLAS": "0", "BENCH_CHUNK": "8"}),
