@@ -48,6 +48,10 @@ def inverted(workdir):
                 # math to one dispatch — tests/test_pipeline.py proves
                 # the parity, this exercises the CLI wiring
                 "--steps_per_dispatch", "3",
+                # segmented VAE dispatch (4 frames = 3+1): CLI wiring of
+                # SDStack frames_per_dispatch (parity proven in
+                # tests/test_runtime.py)
+                "--frames_per_dispatch", "3",
             ]
         )
         result = preprocess_cli.run(opt)
@@ -99,6 +103,9 @@ def test_pnp_edit_e2e(inverted, tmp_path):
             # 4 steps in 3+1 dispatches (uneven tail) — CLI wiring of
             # pipeline.split_schedule
             "steps_per_dispatch": 3,
+            # VAE decode in 3+1-frame dispatches — CLI wiring of
+            # frames_per_dispatch
+            "frames_per_dispatch": 3,
         }
         config = run_pnp.resolve_output_path(config)
         os.makedirs(config["output_path"], exist_ok=True)

@@ -105,3 +105,24 @@ def test_load_stack_process_cache():
     d = runtime.load_stack("tiny", init="random", dtype=jnp.float32,
                            param_dtype=jnp.float32, seed=7, cache=False)
     assert d is not a
+
+
+def test_vae_segmented_dispatch_matches_single(stack):
+    """frames_per_dispatch segments the frame axis into several device
+    programs (axon relay watchdog — PERF.md round 3); math must be
+    identical to the one-dispatch path, including a ragged tail
+    (7 frames, segments of 3)."""
+    rng = np.random.default_rng(2)
+    frames = rng.random((7, 32, 32, 3)).astype(np.float32)
+
+    lat_one = stack.encode_frames(frames, batch=2)
+    lat_seg = stack.encode_frames(frames, batch=2, frames_per_dispatch=3)
+    np.testing.assert_allclose(
+        np.asarray(lat_seg), np.asarray(lat_one), rtol=1e-6, atol=1e-6
+    )
+
+    img_one = stack.decode_latents(lat_one, batch=2)
+    img_seg = stack.decode_latents(lat_one, batch=2, frames_per_dispatch=3)
+    np.testing.assert_allclose(
+        np.asarray(img_seg), np.asarray(img_one), rtol=1e-6, atol=1e-6
+    )

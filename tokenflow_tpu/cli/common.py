@@ -285,7 +285,10 @@ def setup_editor(
             fps=fps,
         )
 
-    latents = stack.encode_frames(frames, batch=VAE_BATCH_SIZE, mesh=mesh)
+    latents = stack.encode_frames(
+        frames, batch=VAE_BATCH_SIZE, mesh=mesh,
+        frames_per_dispatch=int(config.get("frames_per_dispatch") or 0),
+    )
 
     trajectory = latents_io.load_trajectory(save_path)
     if trajectory.traj.shape[1] < n_frames:
@@ -334,7 +337,10 @@ def save_vae_recon(data: EditorData) -> None:
     out = data.config["output_path"]
     decoded = np.asarray(
         data.stack.decode_latents(
-            data.latents, batch=VAE_BATCH_SIZE, mesh=data.mesh
+            data.latents, batch=VAE_BATCH_SIZE, mesh=data.mesh,
+            frames_per_dispatch=int(
+                data.config.get("frames_per_dispatch") or 0
+            ),
         )
     )
     video_io.save_frames(decoded, os.path.join(out, "vae_recon"))
@@ -352,7 +358,10 @@ def save_outputs(
     out = data.config["output_path"]
     decoded = np.asarray(
         data.stack.decode_latents(
-            latents_out, batch=VAE_BATCH_SIZE, mesh=data.mesh
+            latents_out, batch=VAE_BATCH_SIZE, mesh=data.mesh,
+            frames_per_dispatch=int(
+                data.config.get("frames_per_dispatch") or 0
+            ),
         )
     )
     video_io.save_frames(decoded, os.path.join(out, "img_ode"))

@@ -145,7 +145,10 @@ def _run(opt) -> dict:
     frames = video_io.load_frames(
         opt.data_path, opt.n_frames, resize_square=opt.H
     )
-    lat = stack.encode_frames(frames, mesh=mesh)  # (F, h, w, 4)
+    fpd = int(getattr(opt, "frames_per_dispatch", 0) or 0)
+    lat = stack.encode_frames(
+        frames, mesh=mesh, frames_per_dispatch=fpd
+    )  # (F, h, w, 4)
 
     cond = stack.encode_prompt(opt.inversion_prompt, "")[1:2]  # cond only
 
@@ -267,7 +270,9 @@ def _run(opt) -> dict:
         utils.force_completion(lat_rec)
     print(f"[tokenflow-tpu] reconstruction: {t_rec.seconds:.1f}s")
 
-    rgb = np.asarray(stack.decode_latents(lat_rec, mesh=mesh))
+    rgb = np.asarray(
+        stack.decode_latents(lat_rec, mesh=mesh, frames_per_dispatch=fpd)
+    )
     video_io.save_frames(rgb, os.path.join(save_path, "frames"))
     video_io.save_video(
         rgb, os.path.join(save_path, "inverted.mp4"), fps=10
@@ -337,6 +342,14 @@ def build_parser() -> argparse.ArgumentParser:
         "dispatches of N steps (identical math; bounds per-program "
         "execution time — rigs with an execution watchdog need the "
         "longest dispatch under the limit). 0 = one dispatch",
+    )
+    p.add_argument(
+        "--frames_per_dispatch",
+        type=int,
+        default=0,
+        help="split VAE encode/decode into device dispatches of N frames "
+        "(identical math; bounds per-program execution time — 120-frame "
+        "768p decode is minutes in one program). 0 = one dispatch",
     )
     return p
 

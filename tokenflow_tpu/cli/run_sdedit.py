@@ -89,7 +89,12 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
                 sched_seg,
             )
         decoded = np.asarray(
-            data.stack.decode_latents(out_lat, batch=common.VAE_BATCH_SIZE)
+            data.stack.decode_latents(
+                out_lat, batch=common.VAE_BATCH_SIZE,
+                frames_per_dispatch=int(
+                    config.get("frames_per_dispatch") or 0
+                ),
+            )
         )
         out = config["output_path"]
         video_io.save_frames(decoded, os.path.join(out, "img_ode_vanilla_sde"))

@@ -123,6 +123,7 @@ class SDStack:
         batch: int = 10,
         rng: Optional[jax.Array] = None,
         mesh=None,
+        frames_per_dispatch: int = 0,
     ) -> jax.Array:
         """float (F, H, W, 3) in [0,1] -> scaled latents (F, h, w, 4).
 
@@ -130,11 +131,16 @@ class SDStack:
         call site (preprocess.py:195, run_tokenflow_pnp.py:181)."""
         sf = self.vae.config.scaling_factor
         x = jnp.asarray(frames) * 2.0 - 1.0
-        out = self._vae_apply("encode", x, batch, mesh)
+        out = self._vae_apply("encode", x, batch, mesh, frames_per_dispatch)
         return out.astype(jnp.float32) * sf
 
     def decode_latents(
-        self, latents: jax.Array, *, batch: int = 10, mesh=None
+        self,
+        latents: jax.Array,
+        *,
+        batch: int = 10,
+        mesh=None,
+        frames_per_dispatch: int = 0,
     ) -> jax.Array:
         """scaled latents -> float images in [0,1] (reference
         decode_latents, preprocess.py:162-171). With ``mesh``, frames
@@ -143,11 +149,29 @@ class SDStack:
         frames @768p)."""
         sf = self.vae.config.scaling_factor
         z = jnp.asarray(latents) / sf
-        img = self._vae_apply("decode", z, batch, mesh)
+        img = self._vae_apply("decode", z, batch, mesh, frames_per_dispatch)
         img = img.astype(jnp.float32)
         return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
-    def _vae_apply(self, which: str, x: jax.Array, batch: int, mesh):
+    def _vae_apply(
+        self, which: str, x: jax.Array, batch: int, mesh,
+        frames_per_dispatch: int = 0,
+    ):
+        fpd = int(frames_per_dispatch or 0)
+        n = x.shape[0]
+        if 0 < fpd < n:
+            # Segmented dispatch over the frame axis: one device program
+            # per <=fpd-frame segment (equal-length segments share a
+            # compiled program). Needed where the runtime kills long
+            # single executions (the axon relay kills ~>60 s programs —
+            # PERF.md round 3; 120-frame 768p decode is minutes in one
+            # dispatch). Dispatches are async; numerics are unchanged
+            # (the lax.map chunking below is already per-frame-batch).
+            outs = [
+                self._vae_apply(which, x[i : i + fpd], batch, mesh)
+                for i in range(0, n, fpd)
+            ]
+            return jnp.concatenate(outs, axis=0)
         if mesh is not None and x.shape[0] % mesh.devices.size == 0:
             return self._vae_mapped_sharded(which, mesh)(
                 self.vae_params, x
