@@ -48,7 +48,7 @@ def worker():
     import jax.numpy as jnp
     import numpy as np
 
-    from tokenflow_tpu import runtime
+    from tokenflow_tpu import runtime, utils
     from tokenflow_tpu.diffusion import ddim
     from tokenflow_tpu.editing import pipeline
 
@@ -100,7 +100,7 @@ def worker():
         )
         seg_tables = pipeline.split_schedule(schedule, seg)
         piv_tables = [
-            pivots[s : s + seg] for s in range(0, n_steps, seg)
+            pivots[s] for s in utils.segment_slices(n_steps, seg)
         ]
 
         def seg_fn(params, x0, tr, e3, piv, sched_seg):

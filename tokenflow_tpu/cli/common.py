@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from tokenflow_tpu import runtime
+from tokenflow_tpu import runtime, utils
 from tokenflow_tpu.diffusion import ddim
 from tokenflow_tpu.io import latents as latents_io
 from tokenflow_tpu.io import video as video_io
@@ -212,15 +212,19 @@ def schedule_segments(
     if pivots is None:
         pivs = [None] * len(scheds)
     else:
-        pivs = [
-            pivots[s : s + seg_len] for s in range(0, n, seg_len)
-        ]
+        pivs = [pivots[s] for s in utils.segment_slices(n, seg_len)]
     print(
         f"[tokenflow-tpu] edit loop in {len(scheds)} dispatches of "
         f"<= {seg_len} steps"
     )
     return list(zip(scheds, pivs))
 
+
+
+def frames_per_dispatch_of(config: dict) -> int:
+    """The VAE frame-segmentation knob, resolved in ONE place (see
+    SDStack._vae_apply; 0 = one dispatch)."""
+    return int(config.get("frames_per_dispatch") or 0)
 
 def dump_config(config: dict) -> None:
     os.makedirs(config["output_path"], exist_ok=True)
@@ -287,7 +291,7 @@ def setup_editor(
 
     latents = stack.encode_frames(
         frames, batch=VAE_BATCH_SIZE, mesh=mesh,
-        frames_per_dispatch=int(config.get("frames_per_dispatch") or 0),
+        frames_per_dispatch=frames_per_dispatch_of(config),
     )
 
     trajectory = latents_io.load_trajectory(save_path)
@@ -338,9 +342,7 @@ def save_vae_recon(data: EditorData) -> None:
     decoded = np.asarray(
         data.stack.decode_latents(
             data.latents, batch=VAE_BATCH_SIZE, mesh=data.mesh,
-            frames_per_dispatch=int(
-                data.config.get("frames_per_dispatch") or 0
-            ),
+            frames_per_dispatch=frames_per_dispatch_of(data.config),
         )
     )
     video_io.save_frames(decoded, os.path.join(out, "vae_recon"))
@@ -359,9 +361,7 @@ def save_outputs(
     decoded = np.asarray(
         data.stack.decode_latents(
             latents_out, batch=VAE_BATCH_SIZE, mesh=data.mesh,
-            frames_per_dispatch=int(
-                data.config.get("frames_per_dispatch") or 0
-            ),
+            frames_per_dispatch=frames_per_dispatch_of(data.config),
         )
     )
     video_io.save_frames(decoded, os.path.join(out, "img_ode"))

@@ -209,12 +209,9 @@ def _run(opt) -> dict:
     xs_np, save_ts = inversion.inversion_xs(sched, opt.save_steps)
 
     def xs_segments(xs_arrays):
-        n = len(xs_arrays[0])
-        if spd <= 0 or spd >= n:
-            return [xs_arrays]
         return [
-            tuple(a[s : s + spd] for a in xs_arrays)
-            for s in range(0, n, spd)
+            tuple(a[s] for a in xs_arrays)
+            for s in utils.segment_slices(len(xs_arrays[0]), spd)
         ]
 
     with utils.Timer() as t_inv:

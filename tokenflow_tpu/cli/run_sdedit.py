@@ -91,8 +91,8 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
         decoded = np.asarray(
             data.stack.decode_latents(
                 out_lat, batch=common.VAE_BATCH_SIZE,
-                frames_per_dispatch=int(
-                    config.get("frames_per_dispatch") or 0
+                frames_per_dispatch=common.frames_per_dispatch_of(
+                    config
                 ),
             )
         )

@@ -115,13 +115,13 @@ def split_schedule(
     progress/checkpoint points mid-edit."""
     if seg_len <= 0:
         raise ValueError(f"seg_len must be positive, got {seg_len}")
+    from tokenflow_tpu.utils import segment_slices
+
     n = len(schedule.timesteps)
     fields = [f.name for f in dataclasses.fields(EditSchedule)]
     return [
-        EditSchedule(
-            **{k: getattr(schedule, k)[s : min(s + seg_len, n)] for k in fields}
-        )
-        for s in range(0, n, seg_len)
+        EditSchedule(**{k: getattr(schedule, k)[s] for k in fields})
+        for s in segment_slices(n, seg_len)
     ]
 
 

@@ -159,6 +159,14 @@ class SDStack:
     ):
         fpd = int(frames_per_dispatch or 0)
         n = x.shape[0]
+        if mesh is not None and fpd > 0:
+            # keep every segment shardable: round fpd DOWN to a multiple
+            # of the device count (down so the per-dispatch bound is
+            # never exceeded) — otherwise segments would silently fall
+            # through to the single-device path, ~n_dev x slower per
+            # program, defeating the execution-watchdog bound
+            ndev = mesh.devices.size
+            fpd = max(ndev, (fpd // ndev) * ndev)
         if 0 < fpd < n:
             # Segmented dispatch over the frame axis: one device program
             # per <=fpd-frame segment (equal-length segments share a
@@ -167,9 +175,11 @@ class SDStack:
             # PERF.md round 3; 120-frame 768p decode is minutes in one
             # dispatch). Dispatches are async; numerics are unchanged
             # (the lax.map chunking below is already per-frame-batch).
+            from tokenflow_tpu.utils import segment_slices
+
             outs = [
-                self._vae_apply(which, x[i : i + fpd], batch, mesh)
-                for i in range(0, n, fpd)
+                self._vae_apply(which, x[s], batch, mesh)
+                for s in segment_slices(n, fpd)
             ]
             return jnp.concatenate(outs, axis=0)
         if mesh is not None and x.shape[0] % mesh.devices.size == 0:
@@ -379,6 +389,12 @@ def validate_checkpoint_configs(
 _STACK_CACHE: dict = {}
 
 
+def clear_stack_cache() -> None:
+    """Drop every cached SDStack (frees params + jit executables once
+    callers release their own references)."""
+    _STACK_CACHE.clear()
+
+
 def load_stack(
     sd_version: str,
     *,
@@ -414,6 +430,12 @@ def load_stack(
         param_dtype=param_dtype, init=init, seed=seed,
     )
     if cache:
+        # single-slot cache: chained SAME-key stages share one stack
+        # (the HBM-margin case the docstring describes), while a
+        # DIFFERENT key evicts the old entry — an unbounded cache would
+        # permanently pin every distinct ~1.8 GB param set (plus jit
+        # executables) for the life of a multi-version driver process
+        _STACK_CACHE.clear()
         _STACK_CACHE[key] = stack
     return stack
 

@@ -56,3 +56,17 @@ class Timer:
     def __exit__(self, *exc):
         self.seconds = time.perf_counter() - self.start
         return False
+
+
+def segment_slices(n: int, seg_len: int) -> list[slice]:
+    """Contiguous <=seg_len-sized slices covering ``range(n)``.
+
+    THE segmentation rule for bounded-execution dispatch (the axon relay
+    kills single device programs ~>60 s — PERF.md round 3): the edit
+    loop (pipeline.split_schedule), the inversion/reconstruction scans
+    (cli/preprocess), the VAE frame axis (runtime._vae_apply) and bench
+    all derive their segment boundaries here so they cannot diverge.
+    ``seg_len <= 0`` or ``>= n`` means one segment (no split)."""
+    if seg_len <= 0 or seg_len >= n:
+        return [slice(0, n)]
+    return [slice(s, min(s + seg_len, n)) for s in range(0, n, seg_len)]
