@@ -7,6 +7,7 @@ top HLO ops by self time via tensorboard_plugin_profile, to attribute the
 
 Run (one process, tunnel handshake):  python scripts/tpu_profile_step.py
 Env: PS_FRAMES (40), PS_LATENT (64), PS_WINDOW (8), PS_STEPS (2),
+     PS_CHUNK (0 = no chunking; the 768p/120f config-5 geometry needs 8),
      PS_LOGDIR (/tmp/tf_step_profile).
 """
 
@@ -33,6 +34,7 @@ def main():
     f_total = int(os.environ.get("PS_FRAMES", "40"))
     hw = int(os.environ.get("PS_LATENT", "64"))
     window = int(os.environ.get("PS_WINDOW", "8"))
+    chunk = int(os.environ.get("PS_CHUNK", "0")) or None
     logdir = os.environ.get("PS_LOGDIR", "/tmp/tf_step_profile")
 
     stack = runtime.load_stack(
@@ -61,6 +63,7 @@ def main():
         return pipeline.tokenflow_sample_loop(
             stack.unet_apply, params, x0, tr, e3, schedule,
             window_size=window, guidance_scale=7.5, pnp=True, rng=key,
+            propagate_chunk=chunk,
         )
 
     loop = jax.jit(loop_fn)
