@@ -241,6 +241,136 @@ def test_validate_config_errors():
         validate_config({**base, "batch_size": 2, "propagate_chunk": 3}, "pnp")
 
 
+def test_run_segmented_edit_checkpoint_resume(tmp_path):
+    """Helper-level contract: an interrupted checkpointed edit resumes at
+    the completed-dispatch boundary and equals the uninterrupted run; the
+    checkpoint never survives completion and never seeds a different
+    config (fingerprint guard)."""
+    import types
+
+    import jax.numpy as jnp
+
+    from tokenflow_tpu.cli import common
+
+    config = {
+        "seed": 1, "sd_version": "tiny", "prompt": "p",
+        "negative_prompt": "n", "n_frames": 2, "n_timesteps": 4,
+        "batch_size": 2, "guidance_scale": 7.5,
+        "output_path": str(tmp_path), "checkpoint_edit": True,
+    }
+    segments = [
+        (types.SimpleNamespace(timesteps=np.arange(1)), None)
+        for _ in range(4)
+    ]
+    x0 = jnp.arange(4.0)
+    calls = []
+
+    def step_fn(x, sched_seg, piv):
+        calls.append(1)
+        return x * 2 + 1
+
+    expected = np.asarray(
+        common.run_segmented_edit(
+            {**config, "checkpoint_edit": False}, segments, step_fn, x0
+        )
+    )
+    ckpt = tmp_path / "edit_checkpoint.npz"
+
+    def failing_step_fn(x, sched_seg, piv):
+        if len(calls) == 2:
+            raise RuntimeError("simulated kill")
+        return step_fn(x, sched_seg, piv)
+
+    calls.clear()
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        common.run_segmented_edit(config, segments, failing_step_fn, x0)
+    assert ckpt.exists()  # 2 dispatches done, carry saved
+
+    calls.clear()
+    out = np.asarray(
+        common.run_segmented_edit(config, segments, step_fn, x0)
+    )
+    assert len(calls) == 2  # resumed: only the 2 remaining dispatches ran
+    np.testing.assert_array_equal(out, expected)
+    assert not ckpt.exists()  # removed on completion
+
+    # a checkpoint from a DIFFERENT config must be ignored, not consumed
+    calls.clear()
+    with pytest.raises(RuntimeError):
+        common.run_segmented_edit(
+            config, segments, failing_step_fn, x0
+        )
+    assert ckpt.exists()
+    calls.clear()
+    common.run_segmented_edit(
+        {**config, "prompt": "different"}, segments, step_fn, x0
+    )
+    assert len(calls) == 4  # fingerprint mismatch -> started from scratch
+
+
+@pytest.mark.slow
+def test_pnp_edit_checkpoint_resume_e2e(inverted, monkeypatch):
+    """CLI-level resume: kill the edit mid-dispatch-plan, rerun the same
+    config, and get the exact output of an uninterrupted run (the carry
+    round-trips through edit_checkpoint.npz bitwise)."""
+    workdir, _ = inverted
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        from tokenflow_tpu.cli import common
+
+        config = {
+            "seed": 1,
+            "device": "cpu",
+            "output_path": "results_ckpt",
+            "data_path": "data/clip",
+            "latents_path": "latents",
+            "n_inversion_steps": STEPS,
+            "n_frames": F,
+            "sd_version": "tiny",
+            "guidance_scale": 7.5,
+            "n_timesteps": N_TIMESTEPS,
+            "prompt": "a stylized test clip",
+            "negative_prompt": "ugly",
+            "batch_size": 2,
+            "pnp_attn_t": 0.5,
+            "pnp_f_t": 0.8,
+            "image_size": HW,
+            "steps_per_dispatch": 1,  # 4 dispatches
+            "checkpoint_edit": True,
+        }
+        config = run_pnp.resolve_output_path(config)
+        os.makedirs(config["output_path"], exist_ok=True)
+        baseline = run_pnp.edit_video(
+            {**config, "checkpoint_edit": False}
+        )
+
+        orig = common.run_segmented_edit
+        state = {"calls": 0}
+
+        def interrupted(cfg, segments, step_fn, x_init):
+            def wrapped(x, s, p):
+                state["calls"] += 1
+                if state["calls"] == 3:
+                    raise RuntimeError("simulated kill")
+                return step_fn(x, s, p)
+
+            return orig(cfg, segments, wrapped, x_init)
+
+        monkeypatch.setattr(common, "run_segmented_edit", interrupted)
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            run_pnp.edit_video(config)
+        ckpt = os.path.join(config["output_path"], "edit_checkpoint.npz")
+        assert os.path.exists(ckpt)
+        monkeypatch.setattr(common, "run_segmented_edit", orig)
+
+        decoded = run_pnp.edit_video(config)
+        assert not os.path.exists(ckpt)
+        np.testing.assert_array_equal(decoded, baseline)
+    finally:
+        os.chdir(cwd)
+
+
 @pytest.mark.slow
 def test_python_api_edit(inverted):
     """High-level api.edit_pnp on the already-inverted fixture."""

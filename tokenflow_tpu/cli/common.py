@@ -226,6 +226,91 @@ def frames_per_dispatch_of(config: dict) -> int:
     SDStack._vae_apply; 0 = one dispatch)."""
     return int(config.get("frames_per_dispatch") or 0)
 
+
+def _edit_fingerprint(config: dict, segments: list) -> str:
+    """Identity of an edit run for checkpoint/resume: a checkpoint written
+    under one config must never seed a run whose schedule, pivots, or
+    prompt differ (the carry would be silently wrong)."""
+    import hashlib
+    import json
+
+    piv_digest = [
+        None
+        if piv is None
+        else hashlib.sha256(np.ascontiguousarray(piv)).hexdigest()
+        for _, piv in segments
+    ]
+    ident = {
+        k: config.get(k)
+        for k in (
+            "seed", "sd_version", "prompt", "negative_prompt", "n_frames",
+            "n_timesteps", "batch_size", "guidance_scale", "pnp_attn_t",
+            "pnp_f_t", "start", "steps_per_dispatch",
+        )
+    }
+    ident["segment_steps"] = [len(s.timesteps) for s, _ in segments]
+    ident["pivots"] = piv_digest
+    return hashlib.sha256(
+        json.dumps(ident, sort_keys=True).encode()
+    ).hexdigest()
+
+
+def run_segmented_edit(config: dict, segments: list, step_fn, x_init):
+    """Drive the edit dispatch plan, optionally checkpointing the latent
+    carry at dispatch boundaries.
+
+    ``step_fn(latents, sched_seg, piv_seg) -> latents`` runs one dispatch.
+    With config key ``checkpoint_edit: true`` the carry (plus completed
+    dispatch count and a config fingerprint) is written to
+    ``<output_path>/edit_checkpoint.npz`` after every non-final dispatch,
+    and a matching checkpoint present at start resumes the edit there —
+    segments are exact splits of the scan (pipeline.split_schedule), so a
+    resumed run equals the uninterrupted one. The file is deleted on
+    completion. Checkpointing forces a host sync per dispatch (the default
+    loop is an async dispatch chain), so it is OFF by default; it exists
+    for long edits on rigs that can kill the process mid-run (the
+    reference offers nothing comparable — its editor restarts from step 0,
+    run_tokenflow_pnp.py:195-233).
+    """
+    import jax
+
+    checkpoint = bool(config.get("checkpoint_edit"))
+    x = x_init
+    start_seg = 0
+    path = os.path.join(config["output_path"], "edit_checkpoint.npz")
+    fingerprint = _edit_fingerprint(config, segments) if checkpoint else ""
+    if checkpoint and os.path.exists(path):
+        saved = np.load(path)
+        if str(saved["fingerprint"]) == fingerprint:
+            start_seg = int(saved["segments_done"])
+            x = jnp.asarray(saved["latents"], x_init.dtype)
+            print(
+                f"[tokenflow-tpu] resuming edit at dispatch "
+                f"{start_seg + 1}/{len(segments)} from {path}"
+            )
+        else:
+            print(
+                f"[tokenflow-tpu] ignoring {path}: different run config "
+                "(fingerprint mismatch)"
+            )
+    for i, (sched_seg, piv_seg) in enumerate(segments):
+        if i < start_seg:
+            continue
+        x = step_fn(x, sched_seg, piv_seg)
+        if checkpoint and i < len(segments) - 1:
+            # bf16 -> f32 is exact, so the round-trip through the file
+            # preserves the carry bitwise
+            host = np.asarray(jax.device_get(x)).astype(np.float32)
+            np.savez(
+                path,
+                latents=host,
+                segments_done=i + 1,
+                fingerprint=fingerprint,
+            )
+    if checkpoint and os.path.exists(path):
+        os.remove(path)
+    return x
+
 def dump_config(config: dict) -> None:
     os.makedirs(config["output_path"], exist_ok=True)
     with open(os.path.join(config["output_path"], "config.yaml"), "w") as f:

@@ -113,21 +113,26 @@ def _edit_video(config: dict) -> np.ndarray:
             out_shardings=fsh,
         )
     with utils.Timer() as t_edit:
-        latents_out = x_init.astype(data.stack.dtype)
         traj_dev = jnp.asarray(data.trajectory.traj, data.stack.dtype)
-        for sched_seg, piv_seg in common.schedule_segments(
-            config, schedule, pivots
-        ):
-            latents_out = loop(
+
+        def step_fn(x, sched_seg, piv_seg):
+            return loop(
                 data.stack.unet_params,
                 cn_params,
-                latents_out,
+                x,
                 traj_dev,
                 data.embeds3,
                 jnp.asarray(piv_seg),
                 canny,
                 sched_seg,
             )
+
+        latents_out = common.run_segmented_edit(
+            config,
+            common.schedule_segments(config, schedule, pivots),
+            step_fn,
+            x_init.astype(data.stack.dtype),
+        )
         utils.force_completion(latents_out)
     print(
         f"[tokenflow-tpu] ControlNet edit loop "

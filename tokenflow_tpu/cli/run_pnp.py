@@ -116,18 +116,22 @@ def _edit_video(config: dict) -> np.ndarray:
     segments = common.schedule_segments(config, schedule, pivots)
     with profiling.trace(os.environ.get("TOKENFLOW_TRACE_DIR")):
         with metrics.phase("edit_loop"), utils.Timer() as t_edit:
-            latents_out = x_init.astype(data.stack.dtype)
             traj_dev = jnp.asarray(data.trajectory.traj, data.stack.dtype)
-            for sched_seg, piv_seg in segments:
-                latents_out = loop(
+
+            def step_fn(x, sched_seg, piv_seg):
+                return loop(
                     data.stack.unet_params,
-                    latents_out,
+                    x,
                     traj_dev,
                     data.embeds3,
                     jnp.asarray(piv_seg),
                     sched_seg,
                     depth,
                 )
+
+            latents_out = common.run_segmented_edit(
+                config, segments, step_fn, x_init.astype(data.stack.dtype)
+            )
             utils.force_completion(latents_out)
     n_steps = len(schedule.timesteps)
     fps = config["n_frames"] / t_edit.seconds

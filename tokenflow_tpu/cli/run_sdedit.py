@@ -80,14 +80,21 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
             )
 
         vloop = jax.jit(vloop_fn)
-        out_lat = x_init.astype(data.stack.dtype)
-        for sched_seg, _ in common.schedule_segments(config, schedule):
-            out_lat = vloop(
+
+        def vstep_fn(x, sched_seg, _piv):
+            return vloop(
                 data.stack.unet_params,
-                out_lat,
+                x,
                 data.embeds3[1:],  # [uncond, cond]
                 sched_seg,
             )
+
+        out_lat = common.run_segmented_edit(
+            config,
+            common.schedule_segments(config, schedule),
+            vstep_fn,
+            x_init.astype(data.stack.dtype),
+        )
         decoded = np.asarray(
             data.stack.decode_latents(
                 out_lat, batch=common.VAE_BATCH_SIZE,
@@ -152,19 +159,24 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
             out_shardings=fsh,
         )
     with utils.Timer() as t_edit:
-        latents_out = x_init.astype(data.stack.dtype)
         traj_dev = jnp.asarray(data.trajectory.traj, data.stack.dtype)
-        for sched_seg, piv_seg in common.schedule_segments(
-            config, schedule, pivots
-        ):
-            latents_out = loop(
+
+        def step_fn(x, sched_seg, piv_seg):
+            return loop(
                 data.stack.unet_params,
-                latents_out,
+                x,
                 traj_dev,
                 data.embeds3,
                 jnp.asarray(piv_seg),
                 sched_seg,
             )
+
+        latents_out = common.run_segmented_edit(
+            config,
+            common.schedule_segments(config, schedule, pivots),
+            step_fn,
+            x_init.astype(data.stack.dtype),
+        )
         utils.force_completion(latents_out)
     print(
         f"[tokenflow-tpu] SDEdit loop ({len(schedule.timesteps)} steps): "
