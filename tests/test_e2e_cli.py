@@ -309,6 +309,64 @@ def test_run_segmented_edit_checkpoint_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_preprocess_inversion_checkpoint_resume(inverted, monkeypatch):
+    """--checkpoint_inversion: kill preprocess mid-inversion, rerun, and
+    get the exact trajectory of the uninterrupted run (the fixture's)."""
+    workdir, result = inverted
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        from tokenflow_tpu.cli import common
+
+        args = [
+            "--data_path", "data/clip",
+            "--H", str(HW), "--W", str(HW),
+            "--sd_version", "tiny",
+            "--steps", str(STEPS),
+            "--save_steps", str(SAVE_STEPS),
+            "--n_frames", str(F),
+            "--batch_size", str(F),
+            "--inversion_prompt", "a test clip",
+            "--steps_per_dispatch", "3",
+            "--save_dir", "latents_ckpt",
+            "--checkpoint_inversion",
+            "--skip_reconstruction",
+        ]
+        orig_save = common.SegmentCheckpointer.save
+
+        def bombed_save(self, i, n, carry):
+            orig_save(self, i, n, carry)
+            if i == 0:
+                raise RuntimeError("simulated kill")
+
+        monkeypatch.setattr(common.SegmentCheckpointer, "save", bombed_save)
+        opt = preprocess_cli.build_parser().parse_args(args)
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            preprocess_cli.run(opt)
+        sp = None
+        ckpts = list(
+            (workdir / "latents_ckpt").rglob("inversion_checkpoint.npz")
+        )
+        assert len(ckpts) == 1  # dispatch 1 of 3 done, carry saved
+
+        monkeypatch.setattr(common.SegmentCheckpointer, "save", orig_save)
+        result2 = preprocess_cli.run(
+            preprocess_cli.build_parser().parse_args(args)
+        )
+        sp = workdir / result2["save_path"]
+        assert not (sp / "inversion_checkpoint.npz").exists()
+
+        base = np.load(
+            workdir / result["save_path"] / "latents" / "trajectory.npz"
+        )
+        resumed = np.load(sp / "latents" / "trajectory.npz")
+        np.testing.assert_array_equal(resumed["traj"], base["traj"])
+        np.testing.assert_array_equal(resumed["final"], base["final"])
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.slow
 def test_pnp_edit_checkpoint_resume_e2e(inverted, monkeypatch):
     """CLI-level resume: kill the edit mid-dispatch-plan, rerun the same
     config, and get the exact output of an uninterrupted run (the carry

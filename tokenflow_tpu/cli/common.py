@@ -255,60 +255,101 @@ def _edit_fingerprint(config: dict, segments: list) -> str:
     ).hexdigest()
 
 
+class SegmentCheckpointer:
+    """Carry checkpointing for segmented-dispatch loops (edit loop,
+    preprocess inversion).
+
+    After each non-final dispatch, :meth:`save` writes the loop carry
+    (a tuple of arrays), the completed-dispatch count, and a run
+    fingerprint to ``path``; :meth:`resume` restores a matching
+    checkpoint so the loop continues exactly where it stopped — segments
+    are exact splits of the scan, so resumed == uninterrupted (asserted
+    bitwise in tests/test_e2e_cli.py). bf16 carries round-trip through a
+    uint16 view (numpy cannot serialize ml_dtypes natively); every other
+    dtype is stored as-is, so the restore is bitwise for all carries. A
+    fingerprint mismatch (different prompt/schedule/pivots/geometry)
+    ignores the file instead of seeding a wrong carry. Disabled
+    checkpointers are no-ops, keeping the default loop an async dispatch
+    chain (saving forces a host sync per dispatch). The reference offers
+    nothing comparable — an interrupted edit or inversion restarts from
+    step 0 (run_tokenflow_pnp.py:195-233, preprocess.py:198-230).
+    """
+
+    def __init__(self, path: str, fingerprint: str, enabled: bool):
+        self.path = path
+        self.fingerprint = fingerprint
+        self.enabled = enabled
+
+    def resume(self, carry: tuple, n_segments: int) -> tuple[int, tuple]:
+        if not self.enabled or not os.path.exists(self.path):
+            return 0, carry
+        saved = np.load(self.path)
+        if str(saved["fingerprint"]) != self.fingerprint:
+            print(
+                f"[tokenflow-tpu] ignoring {self.path}: different run "
+                "config (fingerprint mismatch)"
+            )
+            return 0, carry
+        done = int(saved["segments_done"])
+        restored = []
+        for i, ref in enumerate(carry):
+            arr = saved[f"carry_{i}"]
+            if str(saved[f"dtype_{i}"]) == "bfloat16":
+                arr = arr.view(np.dtype(jnp.bfloat16))
+            restored.append(jnp.asarray(arr, ref.dtype))
+        print(
+            f"[tokenflow-tpu] resuming at dispatch {done + 1}/"
+            f"{n_segments} from {self.path}"
+        )
+        return done, tuple(restored)
+
+    def save(self, i: int, n_segments: int, carry: tuple) -> None:
+        if not self.enabled or i >= n_segments - 1:
+            return
+        import jax
+
+        payload = {}
+        for j, a in enumerate(carry):
+            host = np.ascontiguousarray(np.asarray(jax.device_get(a)))
+            if host.dtype == np.dtype(jnp.bfloat16):
+                payload[f"carry_{j}"] = host.view(np.uint16)
+                payload[f"dtype_{j}"] = "bfloat16"
+            else:
+                payload[f"carry_{j}"] = host
+                payload[f"dtype_{j}"] = host.dtype.name
+        np.savez(
+            self.path,
+            segments_done=i + 1,
+            fingerprint=self.fingerprint,
+            **payload,
+        )
+
+    def done(self) -> None:
+        if self.enabled and os.path.exists(self.path):
+            os.remove(self.path)
+
+
 def run_segmented_edit(config: dict, segments: list, step_fn, x_init):
     """Drive the edit dispatch plan, optionally checkpointing the latent
-    carry at dispatch boundaries.
+    carry at dispatch boundaries (config key ``checkpoint_edit: true`` —
+    see :class:`SegmentCheckpointer` for the contract; file:
+    ``<output_path>/edit_checkpoint.npz``).
 
     ``step_fn(latents, sched_seg, piv_seg) -> latents`` runs one dispatch.
-    With config key ``checkpoint_edit: true`` the carry (plus completed
-    dispatch count and a config fingerprint) is written to
-    ``<output_path>/edit_checkpoint.npz`` after every non-final dispatch,
-    and a matching checkpoint present at start resumes the edit there —
-    segments are exact splits of the scan (pipeline.split_schedule), so a
-    resumed run equals the uninterrupted one. The file is deleted on
-    completion. Checkpointing forces a host sync per dispatch (the default
-    loop is an async dispatch chain), so it is OFF by default; it exists
-    for long edits on rigs that can kill the process mid-run (the
-    reference offers nothing comparable — its editor restarts from step 0,
-    run_tokenflow_pnp.py:195-233).
     """
-    import jax
-
     checkpoint = bool(config.get("checkpoint_edit"))
-    x = x_init
-    start_seg = 0
-    path = os.path.join(config["output_path"], "edit_checkpoint.npz")
-    fingerprint = _edit_fingerprint(config, segments) if checkpoint else ""
-    if checkpoint and os.path.exists(path):
-        saved = np.load(path)
-        if str(saved["fingerprint"]) == fingerprint:
-            start_seg = int(saved["segments_done"])
-            x = jnp.asarray(saved["latents"], x_init.dtype)
-            print(
-                f"[tokenflow-tpu] resuming edit at dispatch "
-                f"{start_seg + 1}/{len(segments)} from {path}"
-            )
-        else:
-            print(
-                f"[tokenflow-tpu] ignoring {path}: different run config "
-                "(fingerprint mismatch)"
-            )
+    ck = SegmentCheckpointer(
+        os.path.join(config["output_path"], "edit_checkpoint.npz"),
+        _edit_fingerprint(config, segments) if checkpoint else "",
+        checkpoint,
+    )
+    start_seg, (x,) = ck.resume((x_init,), len(segments))
     for i, (sched_seg, piv_seg) in enumerate(segments):
         if i < start_seg:
             continue
         x = step_fn(x, sched_seg, piv_seg)
-        if checkpoint and i < len(segments) - 1:
-            # bf16 -> f32 is exact, so the round-trip through the file
-            # preserves the carry bitwise
-            host = np.asarray(jax.device_get(x)).astype(np.float32)
-            np.savez(
-                path,
-                latents=host,
-                segments_done=i + 1,
-                fingerprint=fingerprint,
-            )
-    if checkpoint and os.path.exists(path):
-        os.remove(path)
+        ck.save(i, len(segments), (x,))
+    ck.done()
     return x
 
 def dump_config(config: dict) -> None:

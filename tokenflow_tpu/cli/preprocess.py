@@ -101,6 +101,27 @@ def load_depth_maps(data_path: str, n_frames: int, latent_hw) -> np.ndarray:
     return load_or_compute_depth(data_path, n_frames, latent_hw)
 
 
+def _inversion_fingerprint(opt, segs: list) -> str:
+    """Identity of an inversion run for checkpoint/resume (the analog of
+    common._edit_fingerprint): a checkpoint must never seed a run whose
+    schedule, prompt, or geometry differ."""
+    import hashlib
+    import json
+
+    ident = {
+        k: getattr(opt, k, None)
+        for k in (
+            "sd_version", "inversion_prompt", "steps", "save_steps",
+            "n_frames", "H", "W", "batch_size", "steps_per_dispatch",
+            "data_path",
+        )
+    }
+    ident["segment_steps"] = [len(s[0]) for s in segs]
+    return hashlib.sha256(
+        json.dumps(ident, sort_keys=True).encode()
+    ).hexdigest()
+
+
 def run(opt) -> dict:
     # scope the mesh kernel-dispatch env flags (set by maybe_frames_mesh
     # below) to this run
@@ -230,8 +251,23 @@ def _run(opt) -> dict:
                 f"[tokenflow-tpu] inversion in {len(segs)} dispatches "
                 f"of <= {spd} steps"
             )
-        for xs_seg in segs:
+        # --checkpoint_inversion: resume an interrupted inversion at the
+        # completed-dispatch boundary (carry = (x, traj); see
+        # common.SegmentCheckpointer). The write is sized by the save
+        # grid — at config-5 scale (~1.8 GB bf16) pick steps_per_dispatch
+        # so the cadence matches the disk budget.
+        ck = cli_common.SegmentCheckpointer(
+            os.path.join(save_path, "inversion_checkpoint.npz"),
+            _inversion_fingerprint(opt, segs),
+            bool(getattr(opt, "checkpoint_inversion", False)),
+        )
+        start_seg, (x_T, traj) = ck.resume((x_T, traj), len(segs))
+        for i, xs_seg in enumerate(segs):
+            if i < start_seg:
+                continue
             x_T, traj = invert(all_params, x_T, traj, xs_seg)
+            ck.save(i, len(segs), (x_T, traj))
+        ck.done()
         utils.force_completion(x_T)
     print(f"[tokenflow-tpu] inversion ({opt.steps} steps): {t_inv.seconds:.1f}s")
 
@@ -339,6 +375,15 @@ def build_parser() -> argparse.ArgumentParser:
         "dispatches of N steps (identical math; bounds per-program "
         "execution time — rigs with an execution watchdog need the "
         "longest dispatch under the limit). 0 = one dispatch",
+    )
+    p.add_argument(
+        "--checkpoint_inversion",
+        action="store_true",
+        help="write the inversion carry to "
+        "<save_path>/inversion_checkpoint.npz at dispatch boundaries and "
+        "resume a matching interrupted run from it (exact: segments are "
+        "scan splits). Sized by the save grid; forces a host sync per "
+        "dispatch",
     )
     p.add_argument(
         "--frames_per_dispatch",
