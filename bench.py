@@ -274,7 +274,17 @@ def main():
         worker()
         return
     timeout = int(os.environ.get("BENCH_TIMEOUT", "2700"))
+    # total wall budget: a dead/wedged TPU relay makes every variant eat
+    # its full per-variant timeout (the claim error itself takes ~25 min
+    # to surface), so stop launching variants once the budget is spent
+    # rather than burning len(VARIANTS) x timeout
+    deadline = time.time() + int(os.environ.get("BENCH_DEADLINE", "7200"))
     for label, extra in VARIANTS:
+        if time.time() > deadline:
+            progress(
+                f"variant {label}: skipped — BENCH_DEADLINE exceeded"
+            )
+            continue
         env = dict(os.environ, BENCH_WORKER="1", **extra)
         progress(f"variant {label}: launching worker")
         try:
