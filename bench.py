@@ -268,23 +268,138 @@ VARIANTS = [
     ("jnp-chunked", {"TOKENFLOW_PALLAS": "0", "BENCH_CHUNK": "8"}),
 ]
 
+# stderr signatures meaning the TPU relay itself is dead/unreachable —
+# no variant can succeed, so stop immediately instead of burning the
+# per-variant timeout len(VARIANTS) more times (the round-3 failure mode:
+# BENCH_r03.json is rc=124/parsed:null after 2h of exactly that)
+RELAY_DOWN_SIGNATURES = (
+    "Unable to initialize backend 'axon'",
+    "TPU backend setup/compile error",
+    "failed to claim",
+)
+
+
+def relay_down(text: str) -> bool:
+    return any(sig in text for sig in RELAY_DOWN_SIGNATURES)
+
+
+def preflight():
+    """Tiny device computation proving the relay is alive (subprocess
+    role BENCH_PREFLIGHT=1). Costs one TPU-claim handshake (16 s–10 min
+    when healthy); a dead relay either raises UNAVAILABLE or hangs in
+    the claim until the parent's timeout kills it."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    v = float(jnp.sum((x @ x).astype(jnp.float32)))
+    print(f"PREFLIGHT_OK {v} {jax.devices()[0]}", flush=True)
+
+
+def last_good_bench():
+    """Most recent driver-recorded bench artifact with a parsed result —
+    echoed (clearly marked stale) when the TPU is unavailable."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except Exception:
+            continue
+        parsed = d.get("parsed")
+        # success results carry no "status" field; failure echoes do
+        if parsed and "status" not in parsed:
+            best = (os.path.basename(p), parsed)
+    return best
+
+
+def emit_unavailable(reason: str, status: str = "tpu_unavailable"):
+    """Terminal structured-JSON failure path: the driver must always get
+    one parseable line, even with the relay dead (VERDICT r03 #1).
+    value=0 is the honest measured number for this round; the last good
+    artifact is echoed under stale_last_good, marked stale."""
+    result = {
+        "metric": "end_to_end_frames_per_sec_40f_512p_1chip",
+        "value": 0.0,
+        "unit": "frames/s (incl. 500-step inversion + recon, 1 chip)",
+        "vs_baseline": 0.0,
+        "status": status,
+        "reason": reason,
+    }
+    good = last_good_bench()
+    if good:
+        src, parsed = good
+        result["stale_last_good"] = {
+            "stale": True,
+            "source": src,
+            "metric": parsed.get("metric"),
+            "value": parsed.get("value"),
+            "unit": parsed.get("unit"),
+            "vs_baseline": parsed.get("vs_baseline"),
+        }
+    print(json.dumps(result), flush=True)
+    sys.exit(0)
+
+
+def run_preflight() -> bool:
+    """True iff a tiny device computation completes. ONE attempt with a
+    long leash by default: healthy claim handshakes run 16 s–10 min, a
+    dead relay surfaces UNAVAILABLE on its own at ~20 min (measured), and
+    killing the probe mid-claim can itself wedge the relay for ~30 min —
+    so waiting out the error beats kill-and-retry."""
+    timeout = int(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "1500"))
+    tries = int(os.environ.get("BENCH_PREFLIGHT_TRIES", "1"))
+    env = dict(os.environ, BENCH_PREFLIGHT="1")
+    for attempt in range(1, tries + 1):
+        progress(f"preflight attempt {attempt}/{tries} (timeout {timeout}s)")
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            progress(f"preflight: timed out after {timeout}s")
+            continue
+        if proc.returncode == 0 and "PREFLIGHT_OK" in proc.stdout:
+            progress(
+                f"preflight: ok in {time.time() - t0:.0f}s "
+                f"({proc.stdout.strip()})"
+            )
+            return True
+        tail = (proc.stderr or "")[-300:]
+        progress(f"preflight: rc={proc.returncode}; stderr tail: {tail}")
+        if relay_down(proc.stderr or ""):
+            return False  # definitive — no point retrying
+    return False
+
 
 def main():
+    if os.environ.get("BENCH_PREFLIGHT") == "1":
+        preflight()
+        return
     if os.environ.get("BENCH_WORKER") == "1":
         worker()
         return
+    # cheap relay-health gate before committing to 45-min variant budgets
+    # (skippable for CPU smoke via BENCH_TINY, where there is no relay)
+    if os.environ.get("BENCH_TINY", "0") != "1" and not run_preflight():
+        emit_unavailable("relay preflight failed (tiny device "
+                         "computation did not complete)")
     timeout = int(os.environ.get("BENCH_TIMEOUT", "2700"))
-    # total wall budget: a dead/wedged TPU relay makes every variant eat
-    # its full per-variant timeout (the claim error itself takes ~25 min
-    # to surface), so stop launching variants once the budget is spent
-    # rather than burning len(VARIANTS) x timeout
+    # total wall budget: even with the preflight, a relay that dies
+    # MID-run makes every variant eat its full per-variant timeout, so
+    # stop launching variants once the budget is spent
     deadline = time.time() + int(os.environ.get("BENCH_DEADLINE", "7200"))
+    consecutive_timeouts = 0
     for label, extra in VARIANTS:
         if time.time() > deadline:
-            progress(
-                f"variant {label}: skipped — BENCH_DEADLINE exceeded"
+            emit_unavailable(
+                f"BENCH_DEADLINE exceeded before variant {label}"
             )
-            continue
         env = dict(os.environ, BENCH_WORKER="1", **extra)
         progress(f"variant {label}: launching worker")
         try:
@@ -297,7 +412,17 @@ def main():
             )
         except subprocess.TimeoutExpired:
             progress(f"variant {label}: timeout")
+            consecutive_timeouts += 1
+            if consecutive_timeouts >= 2:
+                # two successive full-budget timeouts = the relay (or its
+                # remote-compile service) died mid-run; later variants
+                # would only repeat the burn
+                emit_unavailable(
+                    "two consecutive variant timeouts "
+                    f"({timeout}s each) — relay wedged mid-run"
+                )
             continue
+        consecutive_timeouts = 0
         for line in proc.stderr.splitlines():
             progress(f"[{label}] {line}")
         out = [
@@ -314,7 +439,13 @@ def main():
             f"variant {label}: failed rc={proc.returncode}; "
             f"stderr tail: {proc.stderr[-300:]}"
         )
-    raise SystemExit("all bench variants failed")
+        if relay_down(proc.stderr or ""):
+            emit_unavailable(
+                f"relay went down during variant {label}"
+            )
+    emit_unavailable(
+        "all bench variants failed (relay alive)", status="bench_failed"
+    )
 
 
 if __name__ == "__main__":
