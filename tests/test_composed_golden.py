@@ -48,6 +48,7 @@ from test_torch_goldens import (  # noqa: E402
     torch_geglu_ff,
     torch_resnet,
     torch_timestep_embedding,
+    torch_unet,
 )
 
 from tokenflow_tpu.diffusion import ddim  # noqa: E402
@@ -544,6 +545,86 @@ def test_composed_depth_edit_matches_reference_semantics():
         depth=True,
     )
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def torch_vanilla_loop(sd, cfg, x0, unc_e, cond_e, timesteps, step_ratio,
+                       bs, g):
+    """The reference's uncalled per-frame SDEdit baseline, float64
+    (run_tokenflow_sdedit.py:218-257): per batch a PLAIN UNet forward on
+    ``torch.cat([batch] * 2)`` with stream-major [uncond*bs | cond*bs]
+    embeds (repeat_interleave of text_embeds, :250), 2-stream CFG, then
+    DDIMScheduler.step — no extended attention, no TokenFlow, no
+    injection."""
+    betas = (
+        torch.linspace(0.00085**0.5, 0.012**0.5, 1000, dtype=torch.float64)
+        ** 2
+    )
+    alphas_cumprod = torch.cumprod(1.0 - betas, dim=0)
+    final_alpha = alphas_cumprod[0]
+    x = x0.clone()
+    text_embed = torch.cat([unc_e.repeat(bs, 1, 1), cond_e.repeat(bs, 1, 1)])
+    for t in timesteps:
+        t = int(t)
+        new_x = []
+        for b0 in range(0, len(x), bs):
+            batch = x[b0 : b0 + bs]
+            tb = torch.full((2 * len(batch),), t)
+            pred = torch_unet(
+                torch.cat([batch] * 2), tb, text_embed, sd, cfg
+            )
+            u, c = pred.chunk(2)
+            eps = u + g * (c - u)
+            a_t = alphas_cumprod[t]
+            pt = t - step_ratio
+            a_prev = alphas_cumprod[pt] if pt >= 0 else final_alpha
+            x0_pred = (batch - (1 - a_t) ** 0.5 * eps) / a_t**0.5
+            new_x.append(
+                a_prev**0.5 * x0_pred + (1 - a_prev) ** 0.5 * eps
+            )
+        x = torch.cat(new_x)
+    return x
+
+
+def test_composed_vanilla_baseline_matches_reference_semantics(stack):
+    """vanilla_sample_loop vs the float64 torch mirror of the reference's
+    per-frame SDEdit baseline (run_tokenflow_sdedit.py:218-257) on the
+    SDEdit-truncated schedule (start=0.9 on 5 steps keeps the last 3) —
+    closes the last un-goldened loop family (VERDICT r03 weak #4)."""
+    cfg, sd, params, unet_apply, x0, embeds = stack
+    steps = 5
+    sched = ddim.truncate_schedule(ddim.make_schedule(steps), 0.9)
+    save_ts = ddim.make_schedule(steps).timesteps[::-1].copy()
+    schedule = pipeline.make_edit_schedule(
+        sched, save_ts, pnp_attn_t=0.0, pnp_f_t=0.0
+    )
+
+    out = pipeline.vanilla_sample_loop(
+        unet_apply,
+        {"params": params},
+        jnp.asarray(x0.transpose(0, 2, 3, 1), jnp.float32),
+        jnp.asarray(embeds[1:3], jnp.float32),  # [uncond | cond]
+        schedule,
+        guidance_scale=7.5,
+        frame_chunk=WS,
+    )
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+
+    e = torch.tensor(embeds, dtype=torch.float64)
+    ref = torch_vanilla_loop(
+        sd, cfg,
+        torch.tensor(x0, dtype=torch.float64),
+        e[1:2], e[2:3],
+        sched.timesteps,
+        1000 // steps,
+        WS, 7.5,
+    )
+    np.testing.assert_allclose(out, ref.numpy(), rtol=2e-3, atol=2e-3)
+    # the baseline really is TokenFlow-free: it must NOT match the full
+    # edit loop on the same schedule/weights
+    edit_out, _ = _run_both(
+        stack, steps=5, pnp_attn_t=0.0, pnp_f_t=0.0, pnp=False, start=0.9
+    )
+    assert not np.allclose(out, edit_out, atol=2e-3)
 
 
 def test_composed_sdedit_matches_reference_semantics(stack):

@@ -44,12 +44,13 @@ def inverted(workdir):
                 "--batch_size", str(F),
                 "--inversion_prompt", "a test clip",
                 "--export_pt",
-                # segmented dispatch (uneven tail: 8 = 3+3+2); identical
-                # math to one dispatch — tests/test_pipeline.py proves
-                # the parity, this exercises the CLI wiring
+                # segmented dispatch (planner picks the divisor: 8 @ <=3
+                # -> 4x2, one shared program); identical math to one
+                # dispatch — tests/test_pipeline.py proves the parity,
+                # this exercises the CLI wiring
                 "--steps_per_dispatch", "3",
-                # segmented VAE dispatch (4 frames = 3+1): CLI wiring of
-                # SDStack frames_per_dispatch (parity proven in
+                # segmented VAE dispatch (4 frames @ <=3 -> 2x2): CLI
+                # wiring of SDStack frames_per_dispatch (parity proven in
                 # tests/test_runtime.py)
                 "--frames_per_dispatch", "3",
             ]
@@ -100,10 +101,10 @@ def test_pnp_edit_e2e(inverted, tmp_path):
             "pnp_attn_t": 0.5,
             "pnp_f_t": 0.8,
             "image_size": HW,
-            # 4 steps in 3+1 dispatches (uneven tail) — CLI wiring of
-            # pipeline.split_schedule
+            # 4 steps @ <=3/dispatch (planner -> 2x2) — CLI wiring of
+            # pipeline.split_schedule + utils.plan_seg_len
             "steps_per_dispatch": 3,
-            # VAE decode in 3+1-frame dispatches — CLI wiring of
+            # VAE decode in 2x2-frame dispatches — CLI wiring of
             # frames_per_dispatch
             "frames_per_dispatch": 3,
         }
@@ -210,7 +211,21 @@ def test_sdedit_edit_e2e(inverted):
             "image_size": HW,
         }
         config = run_sdedit.resolve_output_path(config)
+        # exact reference output-dir encoding, including the unformatted
+        # float in `start_{start}` (run_tokenflow_sdedit.py:274-278)
+        assert config["output_path"] == os.path.join(
+            "results_sdedit", "clip", "a stylized test clip",
+            "batch_size_2", f"{N_TIMESTEPS}start_0.9",
+        )
         os.makedirs(config["output_path"], exist_ok=True)
+        from tokenflow_tpu.cli import common as cli_common
+
+        cli_common.dump_config(config)
+        import yaml
+
+        with open(os.path.join(config["output_path"], "config.yaml")) as f:
+            echoed = yaml.safe_load(f)
+        assert echoed["start"] == 0.9 and echoed["prompt"] == config["prompt"]
         decoded = run_sdedit.edit_video(config)
         assert decoded.shape == (F, HW, HW, 3)
         assert np.isfinite(decoded).all()
@@ -308,6 +323,89 @@ def test_run_segmented_edit_checkpoint_resume(tmp_path):
     assert len(calls) == 4  # fingerprint mismatch -> started from scratch
 
 
+def test_edit_checkpoint_input_data_identity(tmp_path):
+    """A checkpoint must never seed a rerun against a DIFFERENT source
+    video/latents dir or start-latent geometry even when every config
+    hyperparameter matches (ADVICE r03: _edit_fingerprint previously
+    omitted the input-data identity)."""
+    import types
+
+    import jax.numpy as jnp
+
+    from tokenflow_tpu.cli import common
+
+    config = {
+        "seed": 1, "sd_version": "tiny", "prompt": "p",
+        "negative_prompt": "n", "n_frames": 2, "n_timesteps": 4,
+        "batch_size": 2, "guidance_scale": 7.5,
+        "data_path": "data/video_a", "latents_path": "latents",
+        "output_path": str(tmp_path), "checkpoint_edit": True,
+    }
+    segments = [
+        (types.SimpleNamespace(timesteps=np.arange(1)), None)
+        for _ in range(3)
+    ]
+    x0 = jnp.arange(4.0)
+    calls = []
+
+    def failing_step_fn(x, sched_seg, piv):
+        calls.append(1)
+        if len(calls) == 2:
+            raise RuntimeError("simulated kill")
+        return x + 1
+
+    def step_fn(x, sched_seg, piv):
+        calls.append(1)
+        return x + 1
+
+    with pytest.raises(RuntimeError):
+        common.run_segmented_edit(config, segments, failing_step_fn, x0)
+    assert (tmp_path / "edit_checkpoint.npz").exists()
+
+    # same prompt/seed/schedule, different source video: must NOT resume
+    calls.clear()
+    common.run_segmented_edit(
+        {**config, "data_path": "data/video_b"}, segments, step_fn, x0
+    )
+    assert len(calls) == 3
+
+    # different start-latent geometry: must NOT resume either
+    with pytest.raises(RuntimeError):
+        calls.clear()
+        common.run_segmented_edit(config, segments, failing_step_fn, x0)
+    calls.clear()
+    common.run_segmented_edit(
+        config, segments, step_fn, jnp.arange(8.0)
+    )
+    assert len(calls) == 3
+
+
+def test_segment_checkpointer_unreadable_file(tmp_path, capsys):
+    """A truncated/corrupt checkpoint (kill mid-write before the atomic
+    rename existed, disk corruption) degrades to a restart from step 0
+    instead of crashing inside np.load (ADVICE r03)."""
+    import jax.numpy as jnp
+
+    from tokenflow_tpu.cli import common
+
+    path = tmp_path / "ck.npz"
+    path.write_bytes(b"PK\x03\x04 this is not a real npz")
+    ck = common.SegmentCheckpointer(str(path), "fp", True)
+    carry = (jnp.arange(3.0),)
+    done, restored = ck.resume(carry, 4)
+    assert done == 0
+    assert restored is carry
+    assert "unreadable" in capsys.readouterr().out
+
+    # saves go through a tmp file + atomic rename; the final path is
+    # always a loadable npz afterwards
+    ck.save(0, 4, carry)
+    assert not list(tmp_path.glob("*.tmp.npz"))
+    done, (r,) = ck.resume(carry, 4)
+    assert done == 1
+    np.testing.assert_array_equal(np.asarray(r), np.arange(3.0))
+
+
 @pytest.mark.slow
 def test_preprocess_inversion_checkpoint_resume(inverted, monkeypatch):
     """--checkpoint_inversion: kill preprocess mid-inversion, rerun, and
@@ -347,7 +445,7 @@ def test_preprocess_inversion_checkpoint_resume(inverted, monkeypatch):
         ckpts = list(
             (workdir / "latents_ckpt").rglob("inversion_checkpoint.npz")
         )
-        assert len(ckpts) == 1  # dispatch 1 of 3 done, carry saved
+        assert len(ckpts) == 1  # dispatch 1 of 4 done, carry saved
 
         monkeypatch.setattr(common.SegmentCheckpointer, "save", orig_save)
         result2 = preprocess_cli.run(

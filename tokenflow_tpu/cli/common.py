@@ -47,9 +47,8 @@ def validate_config(config: dict, mode: str) -> dict:
         raise KeyError(
             f"config missing required keys for {mode}: {missing}"
         )
-    if config["n_frames"] % config["batch_size"]:
-        # parity: clamped later by find_latents_path, just warn here
-        pass
+    # n_frames % batch_size is allowed here: parity behavior is to clamp
+    # later (find_latents_path), matching run_tokenflow_pnp.py:121-123
     pc = config.get("propagate_chunk")
     if pc is not None and pc % config["batch_size"]:
         raise ValueError(
@@ -208,6 +207,10 @@ def schedule_segments(
     n = len(schedule.timesteps)
     if seg_len <= 0 or seg_len >= n:
         return [(schedule, pivots)]
+    # equal-length segments share one compiled program; prefer a divisor
+    # of n over a cap-plus-tail split (50 @ <=20 -> 5x10, one remote
+    # compile instead of two — utils.plan_seg_len)
+    seg_len = utils.plan_seg_len(n, seg_len)
     scheds = pipeline.split_schedule(schedule, seg_len)
     if pivots is None:
         pivs = [None] * len(scheds)
@@ -227,10 +230,166 @@ def frames_per_dispatch_of(config: dict) -> int:
     return int(config.get("frames_per_dispatch") or 0)
 
 
-def _edit_fingerprint(config: dict, segments: list) -> str:
+def build_edit_loop(
+    stack, config: dict, *, pnp: bool, rng, mesh=None, schedule=None,
+    has_depth: bool = False,
+):
+    """The jitted TokenFlow edit-scan callable, built in ONE place for
+    both editors (PnP: ``pnp=True`` + optional depth channel; SDEdit:
+    ``pnp=False``) AND for compile prewarming — the prewarm paths
+    (:func:`start_compile_ahead`, ``preprocess --prewarm_edit_config``)
+    must construct a trace-identical program so the persistent compile
+    cache (JAX_COMPILATION_CACHE_DIR) turns the editor's blocking remote
+    compile (~2 min per program shape at 768p, PERF.md) into a fetch.
+
+    Signature of the returned callable:
+    ``loop(params, x0, traj, embeds3, pivots, sched_seg, depth)`` where
+    ``depth`` is None for non-depth models (an empty pytree — it never
+    enters the trace). ``rng`` is dead in the trace whenever ``pivots``
+    is a real array (tokenflow_sample_loop only consumes it when
+    pivot_indices is None), so prewarm builders may pass any key.
+    ``schedule`` is only needed under a mesh (sharding tree structure).
+    """
+    import jax
+
+    from tokenflow_tpu.editing import pipeline
+
+    pivotal_shardings = None
+    if mesh is not None and config.get("shard_pivotal", True):
+        from tokenflow_tpu.sharding import mesh as mesh_lib
+
+        pivotal_shardings = mesh_lib.pivotal_shardings(mesh)
+
+    def loop_fn(params, x0, traj, embeds3, pivots, sched_seg, depth):
+        return pipeline.tokenflow_sample_loop(
+            stack.unet_apply,
+            params,
+            x0,
+            traj,
+            embeds3,
+            sched_seg,  # traced tables: every segment shares one program
+            window_size=config["batch_size"],
+            guidance_scale=config["guidance_scale"],
+            pnp=pnp,
+            rng=rng,
+            depth=depth,
+            propagate_chunk=config.get("propagate_chunk"),
+            fused=config.get("fused_step", False),
+            pivotal_shardings=pivotal_shardings,
+            pivot_indices=pivots,
+        )
+
+    if mesh is None:
+        return jax.jit(loop_fn)
+    from tokenflow_tpu.sharding import mesh as mesh_lib
+
+    fsh = mesh_lib.frames_sharding(mesh)
+    repl = mesh_lib.replicated(mesh)
+    return jax.jit(
+        loop_fn,
+        in_shardings=(
+            jax.tree.map(lambda _: repl, stack.unet_params),
+            fsh,
+            mesh_lib.frames_sharding(mesh, frame_axis=1),
+            repl,
+            repl,
+            jax.tree.map(lambda _: repl, schedule),
+            fsh if has_depth else None,
+        ),
+        out_shardings=fsh,
+    )
+
+
+def compile_ahead_enabled(config: dict) -> bool:
+    """Compile-ahead default: on for real TPU backends (where compiles hit
+    the remote service and cost minutes), off on CPU (local compiles are
+    cheap and the extra thread only adds noise to the test harness).
+    Config key ``compile_ahead: true/false`` overrides."""
+    import jax
+
+    v = config.get("compile_ahead", "auto")
+    if v in (True, False):
+        return v
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def start_compile_ahead(loop, example_args: tuple, label: str):
+    """AOT-compile ``loop`` on (possibly abstract) ``example_args`` in a
+    daemon thread, populating the in-the-loop compile path's persistent
+    cache so the blocking jit call later in the run — or in the NEXT
+    process (``preprocess --prewarm_edit_config``) — fetches the
+    executable instead of compiling. The remote-compile service is
+    independent of device execution, so this overlaps compile wall with
+    whatever the device is doing (VAE round-trip, inversion scan).
+
+    Failures are logged and swallowed: a failed prewarm degrades to the
+    status quo (compile at first call). Join the returned thread before
+    timing-sensitive phases so the jit call doesn't race a concurrent
+    compile of the same program."""
+    import threading
+
+    def work():
+        try:
+            with utils.Timer() as t:
+                loop.lower(*example_args).compile()
+            print(
+                f"[tokenflow-tpu] compile-ahead [{label}]: "
+                f"{t.seconds:.1f}s",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001 — prewarm must never kill a run
+            print(
+                f"[tokenflow-tpu] compile-ahead [{label}] failed "
+                f"(ignored): {e!r}",
+                flush=True,
+            )
+
+    th = threading.Thread(target=work, daemon=True, name=f"prewarm-{label}")
+    th.start()
+    return th
+
+
+def edit_prewarm_args(
+    stack, config: dict, segments: list, n_frames: int, latent_hw: tuple,
+    n_saved: int, embeds3, depth_spec=None,
+):
+    """Abstract argument tuples for prewarming the edit-scan program —
+    one per DISTINCT segment length (the planner aims for one; an uneven
+    tail adds a second program shape). Shapes/dtypes mirror exactly what
+    the editors pass at run time: bf16/stack-dtype carry + trajectory,
+    int32 pivot table, concrete schedule-segment pytrees."""
+    import jax
+
+    params_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), stack.unet_params
+    )
+    h, w = latent_hw
+    x_spec = jax.ShapeDtypeStruct((n_frames, h, w, 4), stack.dtype)
+    traj_spec = jax.ShapeDtypeStruct(
+        (n_saved, n_frames, h, w, 4), stack.dtype
+    )
+    n_windows = n_frames // config["batch_size"]
+    out, seen = [], set()
+    for sched_seg, _piv in segments:
+        n = len(sched_seg.timesteps)
+        if n in seen:
+            continue
+        seen.add(n)
+        piv_spec = jax.ShapeDtypeStruct((n, n_windows), jnp.int32)
+        out.append(
+            (params_spec, x_spec, traj_spec, embeds3, piv_spec, sched_seg,
+             depth_spec)
+        )
+    return out
+
+
+def _edit_fingerprint(config: dict, segments: list, x_init) -> str:
     """Identity of an edit run for checkpoint/resume: a checkpoint written
-    under one config must never seed a run whose schedule, pivots, or
-    prompt differ (the carry would be silently wrong)."""
+    under one config must never seed a run whose schedule, pivots, prompt,
+    or INPUT DATA differ (the carry would be silently wrong). Input-data
+    identity = data_path/latents_path plus the start-latent shape+dtype,
+    mirroring _inversion_fingerprint (a rerun against a different source
+    video with the same output_path must not resume the old carry)."""
     import hashlib
     import json
 
@@ -246,10 +405,12 @@ def _edit_fingerprint(config: dict, segments: list) -> str:
             "seed", "sd_version", "prompt", "negative_prompt", "n_frames",
             "n_timesteps", "batch_size", "guidance_scale", "pnp_attn_t",
             "pnp_f_t", "start", "steps_per_dispatch",
+            "data_path", "latents_path", "n_inversion_steps",
         )
     }
     ident["segment_steps"] = [len(s.timesteps) for s, _ in segments]
     ident["pivots"] = piv_digest
+    ident["x_init"] = [list(x_init.shape), str(x_init.dtype)]
     return hashlib.sha256(
         json.dumps(ident, sort_keys=True).encode()
     ).hexdigest()
@@ -283,10 +444,22 @@ class SegmentCheckpointer:
     def resume(self, carry: tuple, n_segments: int) -> tuple[int, tuple]:
         if not self.enabled or not os.path.exists(self.path):
             return 0, carry
-        saved = np.load(self.path)
+        try:
+            saved = np.load(self.path)
+            _ = saved["fingerprint"]
+        except Exception as e:
+            # an unreadable/truncated checkpoint (e.g. the process died
+            # mid-write before :meth:`save` went atomic, or disk
+            # corruption) must degrade to a restart from step 0 — exactly
+            # the interrupted-run scenario this feature exists for
+            print(
+                f"[tokenflow-tpu] ignoring unreadable checkpoint "
+                f"{self.path}: {e!r}"
+            )
+            return 0, carry
         if str(saved["fingerprint"]) != self.fingerprint:
             print(
-                f"[tokenflow-tpu] ignoring {self.path}: different run "
+                f"[tokenflow-tpu] ignoring stale {self.path}: different run "
                 "config (fingerprint mismatch)"
             )
             return 0, carry
@@ -317,12 +490,18 @@ class SegmentCheckpointer:
             else:
                 payload[f"carry_{j}"] = host
                 payload[f"dtype_{j}"] = host.dtype.name
+        # atomic publish: the inversion carry is ~1.8 GB at config-5
+        # scale, so a kill during the multi-second write must never leave
+        # a truncated file at the final path (resume() also tolerates one,
+        # but a clean tmp+rename keeps the last GOOD checkpoint usable)
+        tmp = self.path + ".tmp.npz"  # .npz suffix: np.savez appends it
         np.savez(
-            self.path,
+            tmp,
             segments_done=i + 1,
             fingerprint=self.fingerprint,
             **payload,
         )
+        os.replace(tmp, self.path)
 
     def done(self) -> None:
         if self.enabled and os.path.exists(self.path):
@@ -340,7 +519,7 @@ def run_segmented_edit(config: dict, segments: list, step_fn, x_init):
     checkpoint = bool(config.get("checkpoint_edit"))
     ck = SegmentCheckpointer(
         os.path.join(config["output_path"], "edit_checkpoint.npz"),
-        _edit_fingerprint(config, segments) if checkpoint else "",
+        _edit_fingerprint(config, segments, x_init) if checkpoint else "",
         checkpoint,
     )
     start_seg, (x,) = ck.resume((x_init,), len(segments))

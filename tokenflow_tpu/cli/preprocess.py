@@ -122,6 +122,98 @@ def _inversion_fingerprint(opt, segs: list) -> str:
     ).hexdigest()
 
 
+def start_edit_prewarm(stack, opt, lat, save_ts) -> list:
+    """``--prewarm_edit_config``: AOT-compile the EDIT stage's scan
+    program(s) in a daemon thread while preprocess's inversion executes.
+
+    The reference workflow is always a cold two-process sequence
+    (preprocess.py:333-354 then run_tokenflow_pnp.py:283-300); the
+    editor's remote compile (~2 min per program shape at 768p, PERF.md)
+    therefore always lands on the critical path. The remote-compile
+    service is independent of device execution, so compiling the edit
+    program HERE rides the inversion wall; the editor process then finds
+    it in the persistent compile cache (JAX_COMPILATION_CACHE_DIR) —
+    common.build_edit_loop guarantees the trace is identical.
+
+    Best-effort by design: any mismatch (different sd_version/dtype, a
+    frames mesh in the edit config, depth unavailable) just skips or
+    produces an unused cache entry; the edit stage never depends on it.
+    """
+    from tokenflow_tpu.cli import common as cli_common
+    from tokenflow_tpu.editing import pipeline
+
+    path = getattr(opt, "prewarm_edit_config", None)
+    if not path:
+        return []
+    try:
+        cfg = cli_common.load_config(path)
+        mode = "pnp" if "pnp_attn_t" in cfg else "sdedit"
+        cli_common.validate_config(cfg, mode)
+        if cfg["sd_version"] != opt.sd_version:
+            print(
+                f"[tokenflow-tpu] prewarm skipped: edit config is "
+                f"sd_version={cfg['sd_version']!r}, preprocess is "
+                f"{opt.sd_version!r}"
+            )
+            return []
+        if cfg.get("dtype", "bf16") != opt.dtype:
+            print("[tokenflow-tpu] prewarm skipped: dtype mismatch")
+            return []
+        n = min(int(opt.n_frames), int(cfg["n_frames"]))
+        n -= n % int(cfg["batch_size"])
+        # single-device program only (a frames mesh in the edit stage
+        # changes the program; with >1 device the editor compiles its own)
+        if len(jax.devices()) > 1 and cfg.get(
+            "data_parallel", "auto"
+        ) not in ("off", "0", 0, False, None):
+            print("[tokenflow-tpu] prewarm skipped: edit will use a mesh")
+            return []
+        sched = ddim.make_schedule(cfg["n_timesteps"])
+        if mode == "sdedit":
+            sched = ddim.truncate_schedule(sched, cfg["start"])
+            schedule = pipeline.make_edit_schedule(sched, save_ts)
+        else:
+            schedule = pipeline.make_edit_schedule(
+                sched, save_ts,
+                pnp_attn_t=cfg["pnp_attn_t"], pnp_f_t=cfg["pnp_f_t"],
+            )
+        n_steps = len(schedule.timesteps)
+        dummy_pivots = np.zeros(
+            (n_steps, n // int(cfg["batch_size"])), np.int32
+        )
+        segments = cli_common.schedule_segments(cfg, schedule, dummy_pivots)
+        # real embeds (tiny device work; the text-encoder program is
+        # already compiled for preprocess's own prompt) — exact dtype
+        uncond_cond = stack.encode_prompt(
+            cfg["prompt"], cfg["negative_prompt"]
+        )
+        inv_embed = stack.encode_prompt(
+            opt.inversion_prompt, opt.inversion_prompt
+        )[0:1]
+        embeds3 = jnp.concatenate([inv_embed, uncond_cond], axis=0)
+        depth_spec = None
+        if runtime.is_depth(cfg["sd_version"]):
+            depth_spec = jax.ShapeDtypeStruct(
+                (n, *lat.shape[1:3], 1), jnp.float32
+            )
+        loop = cli_common.build_edit_loop(
+            stack, cfg, pnp=(mode == "pnp"),
+            rng=jax.random.PRNGKey(cfg["seed"]),  # dead: pivots are pinned
+        )
+        return [
+            cli_common.start_compile_ahead(loop, args, f"edit-prewarm/{i}")
+            for i, args in enumerate(
+                cli_common.edit_prewarm_args(
+                    stack, cfg, segments, n, lat.shape[1:3],
+                    int(opt.save_steps), embeds3, depth_spec,
+                )
+            )
+        ]
+    except Exception as e:  # noqa: BLE001 — prewarm must never kill a run
+        print(f"[tokenflow-tpu] prewarm failed (ignored): {e!r}")
+        return []
+
+
 def run(opt) -> dict:
     # scope the mesh kernel-dispatch env flags (set by maybe_frames_mesh
     # below) to this run
@@ -229,10 +321,18 @@ def _run(opt) -> dict:
     spd = int(getattr(opt, "steps_per_dispatch", 0) or 0)
     xs_np, save_ts = inversion.inversion_xs(sched, opt.save_steps)
 
+    # --prewarm_edit_config: compile the edit stage's program(s) while
+    # the inversion below executes (threads joined before returning)
+    prewarm_threads = start_edit_prewarm(stack, opt, lat, save_ts)
+
     def xs_segments(xs_arrays):
+        # prefer a divisor of the step count so all segments share one
+        # compiled program (utils.plan_seg_len; remote compile is ~2 min
+        # per distinct program shape)
+        n = len(xs_arrays[0])
         return [
             tuple(a[s] for a in xs_arrays)
-            for s in utils.segment_slices(len(xs_arrays[0]), spd)
+            for s in utils.segment_slices(n, utils.plan_seg_len(n, spd))
         ]
 
     with utils.Timer() as t_inv:
@@ -284,6 +384,8 @@ def _run(opt) -> dict:
     if opt.skip_reconstruction:
         # the reconstruction is the reference's inversion-quality sanity
         # check (preprocess.py:280-284); skipping halves preprocess time
+        for th in prewarm_threads:
+            th.join()
         return {
             "save_path": save_path,
             "inversion_seconds": t_inv.seconds,
@@ -313,6 +415,8 @@ def _run(opt) -> dict:
 
     rec_psnr = utils.psnr(rgb, frames)
     print(f"[tokenflow-tpu] reconstruction PSNR vs input: {rec_psnr:.2f} dB")
+    for th in prewarm_threads:
+        th.join()
     return {
         "save_path": save_path,
         "inversion_seconds": t_inv.seconds,
@@ -384,6 +488,16 @@ def build_parser() -> argparse.ArgumentParser:
         "resume a matching interrupted run from it (exact: segments are "
         "scan splits). Sized by the save grid; forces a host sync per "
         "dispatch",
+    )
+    p.add_argument(
+        "--prewarm_edit_config",
+        type=str,
+        default=None,
+        help="path to the stage-2 editor YAML (config_pnp.yaml / "
+        "config_sdedit.yaml): AOT-compile that editor's scan program(s) "
+        "concurrently with the inversion so the editor process hits the "
+        "persistent compile cache instead of compiling (~2 min/program "
+        "at 768p). Best-effort; mismatches are skipped with a message",
     )
     p.add_argument(
         "--frames_per_dispatch",

@@ -33,7 +33,6 @@ def edit_video(config: dict) -> np.ndarray:
 def _edit_video(config: dict) -> np.ndarray:
     rng = utils.seed_everything(config["seed"])
     data = common.setup_editor(config, use_steps_dir=True)
-    common.save_vae_recon(data)
 
     sched = ddim.make_schedule(config["n_timesteps"])
     schedule = pipeline.make_edit_schedule(
@@ -61,59 +60,47 @@ def _edit_video(config: dict) -> np.ndarray:
         )
 
     mesh = data.mesh
-    pivotal_shardings = None
-    if mesh is not None and config.get("shard_pivotal", True):
-        from tokenflow_tpu.sharding import mesh as mesh_lib
-
-        pivotal_shardings = mesh_lib.pivotal_shardings(mesh)
 
     pivots = common.resolve_pivots(
         config, rng, len(schedule.timesteps), config["n_frames"]
     )
 
-    def loop_fn(params, x0, traj, embeds3, pivots, sched_seg, depth):
-        return pipeline.tokenflow_sample_loop(
-            data.stack.unet_apply,
-            params,
-            x0,
-            traj,
-            embeds3,
-            sched_seg,  # traced tables: every segment shares one program
-            window_size=config["batch_size"],
-            guidance_scale=config["guidance_scale"],
-            pnp=True,
-            rng=rng,
-            depth=depth,
-            propagate_chunk=config.get("propagate_chunk"),
-            fused=config.get("fused_step", False),
-            pivotal_shardings=pivotal_shardings,
-            pivot_indices=pivots,
-        )
-
     from tokenflow_tpu import profiling
 
     metrics = profiling.PhaseMetrics()
-    if mesh is None:
-        loop = jax.jit(loop_fn)
-    else:
-        from tokenflow_tpu.sharding import mesh as mesh_lib
-
-        fsh = mesh_lib.frames_sharding(mesh)
-        repl = mesh_lib.replicated(mesh)
-        loop = jax.jit(
-            loop_fn,
-            in_shardings=(
-                jax.tree.map(lambda _: repl, data.stack.unet_params),
-                fsh,
-                mesh_lib.frames_sharding(mesh, frame_axis=1),
-                repl,
-                repl,
-                jax.tree.map(lambda _: repl, schedule),
-                None if depth is None else fsh,
-            ),
-            out_shardings=fsh,
-        )
+    loop = common.build_edit_loop(
+        data.stack, config, pnp=True, rng=rng, mesh=mesh,
+        schedule=schedule, has_depth=depth is not None,
+    )
     segments = common.schedule_segments(config, schedule, pivots)
+
+    # kick the edit-scan remote compile off NOW, before the VAE
+    # round-trip below — the compile service is independent of device
+    # execution, so the ~2-min 768p edit compile rides the vae_recon
+    # decode wall instead of serializing after it (cold-start reduction,
+    # PERF.md round 4; config key compile_ahead overrides the default)
+    prewarm = None
+    if mesh is None and common.compile_ahead_enabled(config):
+        with metrics.phase("compile_ahead_launch"):
+            depth_spec = None
+            if depth is not None:
+                depth_spec = jax.ShapeDtypeStruct(depth.shape, depth.dtype)
+            prewarm = [
+                common.start_compile_ahead(loop, args, f"edit-scan/{i}")
+                for i, args in enumerate(
+                    common.edit_prewarm_args(
+                        data.stack, config, segments,
+                        config["n_frames"], x_init.shape[1:3],
+                        data.trajectory.traj.shape[0], data.embeds3,
+                        depth_spec,
+                    )
+                )
+            ]
+    with metrics.phase("vae_recon"):
+        common.save_vae_recon(data)
+    if prewarm is not None:
+        for th in prewarm:
+            th.join()
     with profiling.trace(os.environ.get("TOKENFLOW_TRACE_DIR")):
         with metrics.phase("edit_loop"), utils.Timer() as t_edit:
             traj_dev = jnp.asarray(data.trajectory.traj, data.stack.dtype)

@@ -111,53 +111,18 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
         return decoded
 
     mesh = data.mesh  # built in setup_editor (after the frame clamp)
-    pivotal_shardings = None
-    if mesh is not None and config.get("shard_pivotal", True):
-        from tokenflow_tpu.sharding import mesh as mesh_lib
-
-        pivotal_shardings = mesh_lib.pivotal_shardings(mesh)
 
     pivots = common.resolve_pivots(
         config, rng, len(schedule.timesteps), config["n_frames"]
     )
 
-    def loop_fn(params, x0, traj, embeds3, pivots, sched_seg):
-        return pipeline.tokenflow_sample_loop(
-            data.stack.unet_apply,
-            params,
-            x0,
-            traj,
-            embeds3,
-            sched_seg,
-            window_size=config["batch_size"],
-            guidance_scale=config["guidance_scale"],
-            pnp=False,  # extended attention only, no injection
-            rng=rng,
-            propagate_chunk=config.get("propagate_chunk"),
-            fused=config.get("fused_step", False),
-            pivotal_shardings=pivotal_shardings,
-            pivot_indices=pivots,
-        )
-
-    if mesh is None:
-        loop = jax.jit(loop_fn)
-    else:
-        from tokenflow_tpu.sharding import mesh as mesh_lib
-
-        fsh = mesh_lib.frames_sharding(mesh)
-        repl = mesh_lib.replicated(mesh)
-        loop = jax.jit(
-            loop_fn,
-            in_shardings=(
-                jax.tree.map(lambda _: repl, data.stack.unet_params),
-                fsh,
-                mesh_lib.frames_sharding(mesh, frame_axis=1),
-                repl,
-                repl,
-                jax.tree.map(lambda _: repl, schedule),
-            ),
-            out_shardings=fsh,
-        )
+    # one shared builder with the PnP editor (pnp=False = extended
+    # attention only, no injection); the unified 7-arg signature takes
+    # depth=None here (an empty pytree — never enters the trace)
+    loop = common.build_edit_loop(
+        data.stack, config, pnp=False, rng=rng, mesh=mesh,
+        schedule=schedule, has_depth=False,
+    )
     with utils.Timer() as t_edit:
         traj_dev = jnp.asarray(data.trajectory.traj, data.stack.dtype)
 
@@ -169,6 +134,7 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
                 data.embeds3,
                 jnp.asarray(piv_seg),
                 sched_seg,
+                None,
             )
 
         latents_out = common.run_segmented_edit(

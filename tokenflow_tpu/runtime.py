@@ -161,10 +161,12 @@ class SDStack:
         n = x.shape[0]
         if mesh is not None and fpd > 0:
             # keep every segment shardable: round fpd DOWN to a multiple
-            # of the device count (down so the per-dispatch bound is
-            # never exceeded) — otherwise segments would silently fall
-            # through to the single-device path, ~n_dev x slower per
-            # program, defeating the execution-watchdog bound
+            # of the device count, with ndev as the floor (the minimum
+            # shardable segment). A requested fpd < ndev is rounded UP to
+            # ndev — that still TIGHTENS the per-dispatch execution bound
+            # rather than loosening it: the sharded ndev-frame dispatch
+            # computes 1 frame per device (~1 frame-time of wall) vs
+            # fpd >= 1 frame-times for an unsharded fpd-frame segment.
             ndev = mesh.devices.size
             fpd = max(ndev, (fpd // ndev) * ndev)
         if 0 < fpd < n:
@@ -175,8 +177,15 @@ class SDStack:
             # PERF.md round 3; 120-frame 768p decode is minutes in one
             # dispatch). Dispatches are async; numerics are unchanged
             # (the lax.map chunking below is already per-frame-batch).
-            from tokenflow_tpu.utils import segment_slices
+            from tokenflow_tpu.utils import plan_seg_len, segment_slices
 
+            # prefer a divisor of n (all segments share one compiled
+            # program — plan_seg_len); sharded segments must stay
+            # device-count multiples
+            fpd = plan_seg_len(
+                n, fpd,
+                multiple_of=mesh.devices.size if mesh is not None else 1,
+            )
             outs = [
                 self._vae_apply(which, x[s], batch, mesh)
                 for s in segment_slices(n, fpd)

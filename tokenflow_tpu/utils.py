@@ -70,3 +70,32 @@ def segment_slices(n: int, seg_len: int) -> list[slice]:
     if seg_len <= 0 or seg_len >= n:
         return [slice(0, n)]
     return [slice(s, min(s + seg_len, n)) for s in range(0, n, seg_len)]
+
+
+def plan_seg_len(n: int, max_len: int, *, multiple_of: int = 1) -> int:
+    """Pick the actual segment length for splitting ``n`` items under a
+    per-segment cap of ``max_len``.
+
+    Remote compile is the expensive resource here (~2 min per distinct
+    program shape — PERF.md), and equal-length segments share ONE
+    compiled program, so when a divisor of ``n`` close to the cap exists
+    we use it instead of the naive cap-plus-tail split: 50 steps at cap
+    20 becomes 5x10 (one program) rather than 20+20+10 (two programs).
+    The divisor is only taken when it does not explode the dispatch
+    count (<= 2x the naive count — for near-prime ``n`` the only
+    divisors are tiny, and there the naive two-program split is
+    cheaper). ``multiple_of`` constrains candidates (the frames mesh
+    needs segments divisible by the device count). Never returns more
+    than ``max_len``; callers feed the result to :func:`segment_slices`.
+    """
+    if max_len <= 0 or max_len >= n:
+        return max_len
+    naive_count = -(-n // max_len)
+    best = 0
+    for d in range(max_len, 0, -1):
+        if n % d == 0 and d % multiple_of == 0:
+            best = d
+            break
+    if best and n // best <= 2 * naive_count:
+        return best
+    return max_len
