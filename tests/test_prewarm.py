@@ -112,6 +112,29 @@ def test_prewarm_distinct_segment_shapes(stack):
     assert all(p.dtype == jnp.int32 for p in piv_specs)
 
 
+def test_edit_loop_donates_carry(stack):
+    """The x0 carry is donated through build_edit_loop: a segmented chain
+    (dispatch output re-fed as next input) works, and the consumed input
+    buffer is deleted — so the old and new carries alias instead of
+    coexisting in HBM (TOKENFLOW_DONATE=0 disables)."""
+    config = _pnp_config()
+    save_ts, schedule, segments = _schedule_and_segments(config)
+    loop = common.build_edit_loop(
+        stack, config, pnp=True, rng=jax.random.PRNGKey(0)
+    )
+    embeds3 = jnp.zeros((3, 77, stack.unet.config.cross_attention_dim),
+                        stack.dtype)
+    traj = jnp.zeros((len(save_ts), F, HW, HW, 4), stack.dtype)
+    x = jnp.zeros((F, HW, HW, 4), stack.dtype)
+    x_prev = x
+    for sched_seg, piv_seg in segments:
+        piv = jnp.zeros((len(sched_seg.timesteps), F // WS), jnp.int32)
+        x = loop(stack.unet_params, x, traj, embeds3, piv, sched_seg, None)
+    assert x.shape == (F, HW, HW, 4)
+    assert x_prev.is_deleted()  # first carry was consumed by donation
+    assert not traj.is_deleted()  # the trajectory is re-fed, NEVER donated
+
+
 def test_preprocess_prewarm_cli_wiring(tmp_path, capsys):
     """--prewarm_edit_config end-to-end on the tiny stack: the prewarm
     thread compiles the edit program during preprocess (message printed),

@@ -249,10 +249,19 @@ def build_edit_loop(
     is a real array (tokenflow_sample_loop only consumes it when
     pivot_indices is None), so prewarm builders may pass any key.
     ``schedule`` is only needed under a mesh (sharding tree structure).
+
+    The ``x0`` carry is DONATED (TOKENFLOW_DONATE=0 disables): segmented
+    dispatch re-feeds each dispatch's output as the next input, so
+    aliasing the buffers halves the carry's HBM footprint and skips a
+    copy per dispatch. Segment callers never reuse a carry after
+    passing it (checkpoint saves read the NEW carry); use-after-donate
+    raises loudly on both CPU and TPU backends.
     """
     import jax
 
     from tokenflow_tpu.editing import pipeline
+
+    donate = (1,) if donate_enabled() else ()
 
     pivotal_shardings = None
     if mesh is not None and config.get("shard_pivotal", True):
@@ -280,7 +289,7 @@ def build_edit_loop(
         )
 
     if mesh is None:
-        return jax.jit(loop_fn)
+        return jax.jit(loop_fn, donate_argnums=donate)
     from tokenflow_tpu.sharding import mesh as mesh_lib
 
     fsh = mesh_lib.frames_sharding(mesh)
@@ -297,7 +306,16 @@ def build_edit_loop(
             fsh if has_depth else None,
         ),
         out_shardings=fsh,
+        donate_argnums=donate,
     )
+
+
+def donate_enabled() -> bool:
+    """Carry donation switch (default on; TOKENFLOW_DONATE=0 for A/B —
+    scripts/tpu_donation_ab.py measures the throughput side; the memory
+    side is structural: the carry's old and new buffers alias instead of
+    coexisting)."""
+    return os.environ.get("TOKENFLOW_DONATE", "1") != "0"
 
 
 def compile_ahead_enabled(config: dict) -> bool:

@@ -147,7 +147,18 @@ def start_edit_prewarm(stack, opt, lat, save_ts) -> list:
         return []
     try:
         cfg = cli_common.load_config(path)
-        mode = "pnp" if "pnp_attn_t" in cfg else "sdedit"
+        if "pnp_attn_t" in cfg:
+            mode = "pnp"
+        elif "start" in cfg:
+            mode = "sdedit"
+        else:
+            # the ControlNet editor's loop closes over extra traced args
+            # (cn params + canny cond) — not covered by build_edit_loop
+            print(
+                "[tokenflow-tpu] prewarm skipped: config is neither PnP "
+                "nor SDEdit (ControlNet prewarm unsupported)"
+            )
+            return []
         cli_common.validate_config(cfg, mode)
         if cfg["sd_version"] != opt.sd_version:
             print(
@@ -291,12 +302,18 @@ def _run(opt) -> dict:
     )
     all_params = {"unet": stack.unet_params, "cn": cn_params}
 
-    def _jit(fn, n_out_frame_sharded, extra_args=0):
+    def _jit(fn, n_out_frame_sharded, extra_args=0, donate=()):
         """jit with frames-mesh shardings. Signature convention:
         (params, x[, traj][, xs]) — x frame-sharded, traj sharded on its
-        frame axis 1, the per-step xs tables replicated."""
+        frame axis 1, the per-step xs tables replicated. ``donate``
+        aliases the scan carries (x, and for inversion the growing
+        trajectory) into their outputs: at config-5 scale the f32
+        trajectory is ~0.9 GB, so donation halves the carry footprint
+        across segmented dispatches (common.donate_enabled to disable)."""
+        if not cli_common.donate_enabled():
+            donate = ()
         if mesh is None:
-            return jax.jit(fn)
+            return jax.jit(fn, donate_argnums=donate)
         from tokenflow_tpu.sharding import mesh as mesh_lib
 
         fsh = mesh_lib.frames_sharding(mesh)
@@ -310,6 +327,7 @@ def _run(opt) -> dict:
                 jax.tree.map(lambda _: repl, all_params), fsh, *extra
             ),
             out_shardings=outs,
+            donate_argnums=donate,
         )
 
     # dispatch plan: one jitted scan by default; --steps_per_dispatch N
@@ -342,6 +360,7 @@ def _run(opt) -> dict:
             ),
             2,
             extra_args=2,
+            donate=(1, 2),  # x carry + trajectory carry
         )
         x_T = lat
         traj = jnp.zeros((opt.save_steps, *lat.shape), lat.dtype)
@@ -398,6 +417,7 @@ def _run(opt) -> dict:
             ),
             1,
             extra_args=1,
+            donate=(1,),
         )
         lat_rec = x_T
         for xs_seg in xs_segments(inversion.reconstruction_xs(sched)):

@@ -91,8 +91,11 @@ def _edit_video(config: dict) -> np.ndarray:
             pivot_indices=pivots,
         )
 
+    # donate the x0 carry across segmented dispatches (common.build_edit_loop
+    # does the same for the PnP/SDEdit loops)
+    donate = (2,) if common.donate_enabled() else ()
     if data.mesh is None:
-        loop = jax.jit(loop_fn)
+        loop = jax.jit(loop_fn, donate_argnums=donate)
     else:
         from tokenflow_tpu.sharding import mesh as mesh_lib
 
@@ -111,6 +114,7 @@ def _edit_video(config: dict) -> np.ndarray:
                 jax.tree.map(lambda _: repl, schedule),
             ),
             out_shardings=fsh,
+            donate_argnums=donate,
         )
     with utils.Timer() as t_edit:
         traj_dev = jnp.asarray(data.trajectory.traj, data.stack.dtype)

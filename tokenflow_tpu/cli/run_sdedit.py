@@ -79,7 +79,10 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
                 frame_chunk=config["batch_size"],
             )
 
-        vloop = jax.jit(vloop_fn)
+        vloop = jax.jit(
+            vloop_fn,
+            donate_argnums=(1,) if common.donate_enabled() else (),
+        )
 
         def vstep_fn(x, sched_seg, _piv):
             return vloop(
