@@ -143,3 +143,29 @@ grep -h "resuming at dispatch\|edit loop\|compile-ahead\|Done" edit_2b.log || tr
 log "walls: 1a(kill)=$((T1-T0))s 1b(resume->done)=$((T2-T1))s 2a(kill)=$((T3-T2))s 2b(resume->done)=$((T4-T3))s total=$((T4-T0))s"
 log "artifacts:"
 ls "results_pnp_SD_2.1/woman-running/a marble sculpture of a woman running, Venus de Milo/attn_0.5_f_0.8/batch_size_8/50" 2>/dev/null || true
+
+# --- stages 3/4 (optional, C5_COLDSTART=0 to skip): cold-start A/B -------
+# Stage 3: fully cold edit — fresh compile cache, compile_ahead off.
+# Stage 4: fresh compile cache but in-process compile-ahead on (the edit
+# compile rides the vae_recon wall). Together with the 2b wall (persistent
+# cache + preprocess prewarm), these decompose the cold-start PERF table.
+if [ "${C5_COLDSTART:-1}" = 1 ]; then
+  sed -e 's/^checkpoint_edit: true/checkpoint_edit: false/' \
+      -e 's/^output_path: results/output_path: results_cold/' config_c5.yaml > config_c5_cold.yaml
+  echo "compile_ahead: false" >> config_c5_cold.yaml
+  log "stage 3: fully cold edit (fresh cache, compile_ahead off)"
+  JAX_COMPILATION_CACHE_DIR="$WORK/cache_cold" \
+    python "$REPO/run_tokenflow_pnp.py" --config_path config_c5_cold.yaml > edit_3_cold.log 2>&1
+  T5=$(stamp)
+  grep -h "edit loop\|vae_recon\|Done" edit_3_cold.log || true
+
+  sed -e 's/^checkpoint_edit: true/checkpoint_edit: false/' \
+      -e 's/^output_path: results/output_path: results_ca/' config_c5.yaml > config_c5_ca.yaml
+  echo "compile_ahead: true" >> config_c5_ca.yaml
+  log "stage 4: cold edit with in-process compile-ahead"
+  JAX_COMPILATION_CACHE_DIR="$WORK/cache_cold2" \
+    python "$REPO/run_tokenflow_pnp.py" --config_path config_c5_ca.yaml > edit_4_ca.log 2>&1
+  T6=$(stamp)
+  grep -h "compile-ahead\|edit loop\|Done" edit_4_ca.log || true
+  log "coldstart walls: stage3(cold)=$((T5-T4))s stage4(compile-ahead)=$((T6-T5))s vs 2b(prewarmed+resume)=$((T4-T3))s"
+fi
