@@ -406,6 +406,27 @@ def test_segment_checkpointer_unreadable_file(tmp_path, capsys):
     np.testing.assert_array_equal(np.asarray(r), np.arange(3.0))
 
 
+def test_segment_checkpointer_save_cadence(tmp_path):
+    """checkpoint_every=N persists only every Nth dispatch boundary (each
+    write is a host sync + a potentially multi-GB npz); resume restarts
+    from the last SAVED boundary."""
+    import jax.numpy as jnp
+
+    from tokenflow_tpu.cli import common
+
+    path = tmp_path / "ck.npz"
+    ck = common.SegmentCheckpointer(str(path), "fp", True, every=2)
+    carry = (jnp.arange(2.0),)
+    ck.save(0, 5, carry)  # boundary 1: skipped
+    assert not path.exists()
+    ck.save(1, 5, carry)  # boundary 2: saved
+    assert ck.resume(carry, 5)[0] == 2
+    ck.save(2, 5, carry)  # boundary 3: skipped — checkpoint stays at 2
+    assert ck.resume(carry, 5)[0] == 2
+    ck.save(4, 5, carry)  # final segment: never persisted
+    assert ck.resume(carry, 5)[0] == 2
+
+
 @pytest.mark.slow
 def test_preprocess_inversion_checkpoint_resume(inverted, monkeypatch):
     """--checkpoint_inversion: kill preprocess mid-inversion, rerun, and

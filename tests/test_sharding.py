@@ -77,6 +77,57 @@ def test_sharded_edit_loop_matches_single_device(tiny):
     )
 
 
+def test_sharded_vanilla_loop_matches_single_device(tiny):
+    """The per-frame SDEdit baseline is embarrassingly frame-parallel:
+    sharded over the frames mesh (frame_chunk=None, the run_sdedit
+    --vanilla mesh path) it must match the single-device chunked loop —
+    the last loop family without a sharding parity test."""
+    model, params, cfg, hw = tiny
+    n_dev = 8
+    f_total = 2 * n_dev
+    steps = 2
+
+    sched = ddim.make_schedule(steps)
+    schedule = pipeline.make_edit_schedule(
+        sched, sched.timesteps[::-1].copy()
+    )
+    rng = np.random.default_rng(1)
+    x_init = jnp.asarray(
+        rng.standard_normal((f_total, hw, hw, 4)), jnp.float32
+    )
+    embeds2 = jnp.asarray(
+        rng.standard_normal((2, 7, cfg.cross_attention_dim)), jnp.float32
+    )
+
+    def unet_apply(p, sample, t, ctx, edit, **kw):
+        return model.apply(p, sample, t, ctx, edit=edit, **kw)
+
+    single = pipeline.vanilla_sample_loop(
+        unet_apply, params, x_init, embeds2, schedule,
+        guidance_scale=7.5, frame_chunk=2,
+    )
+
+    m = mesh_lib.make_frames_mesh(n_dev)
+    fsh = mesh_lib.frames_sharding(m)
+    repl = mesh_lib.replicated(m)
+    vloop = jax.jit(
+        lambda p, x0, e2, sch: pipeline.vanilla_sample_loop(
+            unet_apply, p, x0, e2, sch,
+            guidance_scale=7.5, frame_chunk=None,
+        ),
+        in_shardings=(
+            jax.tree.map(lambda _: repl, params), fsh, repl,
+            jax.tree.map(lambda _: repl, schedule),
+        ),
+        out_shardings=fsh,
+    )
+    sharded = vloop(params, x_init, embeds2, schedule)
+    assert sharded.sharding.is_equivalent_to(fsh, sharded.ndim)
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), rtol=5e-5, atol=5e-5
+    )
+
+
 def test_sharded_loop_window_straddling_shards(tiny):
     """BASELINE config-5 geometry class: frames/device NOT a multiple of
     window_size (120/8 dev = 15, window 8). Windows straddling shard

@@ -454,10 +454,18 @@ class SegmentCheckpointer:
     step 0 (run_tokenflow_pnp.py:195-233, preprocess.py:198-230).
     """
 
-    def __init__(self, path: str, fingerprint: str, enabled: bool):
+    def __init__(
+        self, path: str, fingerprint: str, enabled: bool, every: int = 1
+    ):
         self.path = path
         self.fingerprint = fingerprint
         self.enabled = enabled
+        # save cadence: a checkpoint write is a host sync + a potentially
+        # multi-GB npz (config-5 inversion carry ~0.9 GB f32), so
+        # ``every=N`` persists only every Nth dispatch boundary; resume
+        # restarts from the last saved boundary (segments are exact scan
+        # splits, so the replay is bitwise regardless of cadence)
+        self.every = max(1, int(every or 1))
 
     def resume(self, carry: tuple, n_segments: int) -> tuple[int, tuple]:
         if not self.enabled or not os.path.exists(self.path):
@@ -496,6 +504,8 @@ class SegmentCheckpointer:
 
     def save(self, i: int, n_segments: int, carry: tuple) -> None:
         if not self.enabled or i >= n_segments - 1:
+            return
+        if (i + 1) % self.every:
             return
         import jax
 
@@ -539,6 +549,7 @@ def run_segmented_edit(config: dict, segments: list, step_fn, x_init):
         os.path.join(config["output_path"], "edit_checkpoint.npz"),
         _edit_fingerprint(config, segments, x_init) if checkpoint else "",
         checkpoint,
+        every=int(config.get("checkpoint_every") or 1),
     )
     start_seg, (x,) = ck.resume((x_init,), len(segments))
     for i, (sched_seg, piv_seg) in enumerate(segments):

@@ -379,6 +379,7 @@ def _run(opt) -> dict:
             os.path.join(save_path, "inversion_checkpoint.npz"),
             _inversion_fingerprint(opt, segs),
             bool(getattr(opt, "checkpoint_inversion", False)),
+            every=int(getattr(opt, "checkpoint_every", 1) or 1),
         )
         start_seg, (x_T, traj) = ck.resume((x_T, traj), len(segs))
         for i, xs_seg in enumerate(segs):
@@ -508,6 +509,15 @@ def build_parser() -> argparse.ArgumentParser:
         "resume a matching interrupted run from it (exact: segments are "
         "scan splits). Sized by the save grid; forces a host sync per "
         "dispatch",
+    )
+    p.add_argument(
+        "--checkpoint_every",
+        type=int,
+        default=1,
+        help="with --checkpoint_inversion, persist the carry only every "
+        "Nth dispatch boundary (each write is a host sync + ~0.9 GB npz "
+        "at 120-frame 768p scale); resume restarts from the last saved "
+        "boundary, bitwise",
     )
     p.add_argument(
         "--prewarm_edit_config",

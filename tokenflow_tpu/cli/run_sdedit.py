@@ -72,17 +72,39 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
     )
 
     if vanilla:
+        vmesh = data.mesh
+
         def vloop_fn(params, x0, embeds2, sched_seg):
             return pipeline.vanilla_sample_loop(
                 data.stack.unet_apply, params, x0, embeds2, schedule=sched_seg,
                 guidance_scale=config["guidance_scale"],
-                frame_chunk=config["batch_size"],
+                # frames are per-frame independent here, so under a mesh
+                # the frame axis shards instead of lax.map-chunking (the
+                # reshape would fight GSPMD, same rule as preprocess)
+                frame_chunk=(
+                    None if vmesh is not None else config["batch_size"]
+                ),
             )
 
-        vloop = jax.jit(
-            vloop_fn,
-            donate_argnums=(1,) if common.donate_enabled() else (),
-        )
+        donate = (1,) if common.donate_enabled() else ()
+        if vmesh is None:
+            vloop = jax.jit(vloop_fn, donate_argnums=donate)
+        else:
+            from tokenflow_tpu.sharding import mesh as mesh_lib
+
+            fsh = mesh_lib.frames_sharding(vmesh)
+            repl = mesh_lib.replicated(vmesh)
+            vloop = jax.jit(
+                vloop_fn,
+                in_shardings=(
+                    jax.tree.map(lambda _: repl, data.stack.unet_params),
+                    fsh,
+                    repl,
+                    jax.tree.map(lambda _: repl, schedule),
+                ),
+                out_shardings=fsh,
+                donate_argnums=donate,
+            )
 
         def vstep_fn(x, sched_seg, _piv):
             return vloop(
@@ -100,7 +122,7 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
         )
         decoded = np.asarray(
             data.stack.decode_latents(
-                out_lat, batch=common.VAE_BATCH_SIZE,
+                out_lat, batch=common.VAE_BATCH_SIZE, mesh=vmesh,
                 frames_per_dispatch=common.frames_per_dispatch_of(
                     config
                 ),
