@@ -549,6 +549,93 @@ def test_pnp_edit_checkpoint_resume_e2e(inverted, monkeypatch):
 
 
 @pytest.mark.slow
+def test_preprocess_then_edit_one_process(tmp_path, monkeypatch):
+    """``preprocess --then_edit <pnp yaml>`` runs the full two-stage
+    pipeline in ONE process: the editor reuses the preprocess stack
+    (runtime.load_stack cache — exactly one stack build) and the edit
+    program is prewarmed during the inversion (--then_edit implies
+    --prewarm_edit_config). On the real runtime this saves a TPU-claim
+    handshake (16 s–10 min) vs the reference's two-process workflow."""
+    import yaml
+
+    from tokenflow_tpu import runtime
+
+    data = tmp_path / "data" / "clip"
+    data.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    base = rng.integers(40, 210, (HW, HW, 3), dtype=np.uint8)
+    for i in range(F):
+        Image.fromarray(np.roll(base, 2 * i, axis=1)).save(
+            data / f"{i:05d}.png"
+        )
+    cfg = {
+        "seed": 1,
+        "output_path": "results_chain",
+        "data_path": "data/clip",
+        "latents_path": "latents",
+        "n_inversion_steps": STEPS,
+        "n_frames": F,
+        "sd_version": "tiny",
+        "guidance_scale": 7.5,
+        "n_timesteps": N_TIMESTEPS,
+        "prompt": "a stylized test clip",
+        "negative_prompt": "ugly",
+        "batch_size": 2,
+        "pnp_attn_t": 0.5,
+        "pnp_f_t": 0.8,
+        "image_size": HW,
+    }
+    (tmp_path / "config_chain.yaml").write_text(yaml.safe_dump(cfg))
+
+    runtime.clear_stack_cache()
+    builds = []
+    orig_build = runtime._build_stack
+
+    def counting_build(*a, **kw):
+        builds.append(a[0] if a else kw.get("sd_version"))
+        return orig_build(*a, **kw)
+
+    monkeypatch.setattr(runtime, "_build_stack", counting_build)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        preprocess_cli.main(
+            [
+                "--data_path", "data/clip",
+                "--H", str(HW), "--W", str(HW),
+                "--sd_version", "tiny",
+                "--steps", str(STEPS),
+                "--save_steps", str(SAVE_STEPS),
+                "--n_frames", str(F),
+                "--batch_size", str(F),
+                "--inversion_prompt", "a test clip",
+                "--skip_reconstruction",
+                "--then_edit", "config_chain.yaml",
+            ]
+        )
+        # the editor ran, resolved its hyperparameter output dir, and
+        # produced the full artifact tree
+        out = os.path.join(
+            "results_chain_pnp_SD_tiny", "clip",
+            "a stylized test clip", "attn_0.5_f_0.8", "batch_size_2",
+            str(N_TIMESTEPS),
+        )
+        for name in (
+            "img_ode/00000.png",
+            "tokenflow_PnP_fps_10.mp4",
+            "config.yaml",
+            "metrics.json",
+        ):
+            assert os.path.exists(os.path.join(out, name)), name
+        # one process, one stack: the editor hit the cache
+        assert builds == ["tiny"]
+    finally:
+        os.chdir(cwd)
+        runtime.clear_stack_cache()
+
+
+@pytest.mark.slow
 def test_python_api_edit(inverted):
     """High-level api.edit_pnp on the already-inverted fixture."""
     workdir, _ = inverted

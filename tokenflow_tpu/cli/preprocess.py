@@ -234,6 +234,39 @@ def run(opt) -> dict:
         return _run(opt)
 
 
+def run_then_edit(config_path: str) -> None:
+    """``--then_edit``: run the stage-2 editor IN THIS PROCESS after
+    preprocess finishes. The reference workflow is always two cold
+    processes (preprocess.py:333-354 then run_tokenflow_pnp.py:283-300);
+    on this runtime a second process pays another TPU-claim handshake
+    (16 s–10 min) and a cold editor start. In-process, the editor reuses
+    the already-loaded model stack (runtime.load_stack's cache — same
+    sd_version/dtype/init key) and the edit-scan programs prewarmed
+    during the inversion (``--then_edit`` implies
+    ``--prewarm_edit_config`` with the same YAML), so it starts hot.
+
+    The editor family is inferred from the config keys the same way the
+    prewarm does: ``pnp_attn_t`` → PnP, ``start`` → SDEdit, a ControlNet
+    sd_version → ControlNet."""
+    from tokenflow_tpu.cli import common as cli_common
+
+    cfg = cli_common.load_config(config_path)
+    if "pnp_attn_t" in cfg:
+        from tokenflow_tpu.cli import run_pnp as editor
+    elif "start" in cfg:
+        from tokenflow_tpu.cli import run_sdedit as editor
+    elif runtime.is_controlnet(cfg.get("sd_version", "")):
+        from tokenflow_tpu.cli import run_controlnet as editor
+    else:
+        raise ValueError(
+            f"--then_edit: cannot infer the editor family from "
+            f"{config_path!r} (expected a pnp_attn_t, start, or "
+            f"ControlNet sd_version key)"
+        )
+    print(f"[tokenflow-tpu] --then_edit: running {editor.__name__}")
+    editor.main(["--config_path", config_path])
+
+
 def _run(opt) -> dict:
     key = utils.seed_everything(1)  # reference seeds 1 (preprocess.py:303)
     del key
@@ -530,6 +563,16 @@ def build_parser() -> argparse.ArgumentParser:
         "at 768p). Best-effort; mismatches are skipped with a message",
     )
     p.add_argument(
+        "--then_edit",
+        type=str,
+        default=None,
+        help="path to a stage-2 editor YAML: run that editor in THIS "
+        "process after preprocess completes (one TPU claim instead of "
+        "two; the model stack is reused and the edit program is "
+        "prewarmed during the inversion — implies --prewarm_edit_config "
+        "with the same file)",
+    )
+    p.add_argument(
         "--frames_per_dispatch",
         type=int,
         default=0,
@@ -546,7 +589,11 @@ def main(argv=None):
     if video_path.endswith((".mp4", ".mov", ".avi")):
         video_io.video_to_frames(video_path, img_size=(opt.W, opt.H))
         opt.data_path = os.path.join("data", Path(video_path).stem)
+    if opt.then_edit and not opt.prewarm_edit_config:
+        opt.prewarm_edit_config = opt.then_edit
     run(opt)
+    if opt.then_edit:
+        run_then_edit(opt.then_edit)
 
 
 if __name__ == "__main__":
