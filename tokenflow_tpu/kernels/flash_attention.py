@@ -262,6 +262,30 @@ def _sharded_flash(scale, bq, bk, use_exp2, soft_bf16, interpret):
     return fa
 
 
+def default_blocks(sq: int, skv: int) -> tuple[int, int]:
+    """Measured-best (bq, bk) per shape class on v5e (512p-class:
+    scripts/tpu_flash_tune.py, round-2 sweep; 768p-class:
+    scripts/tpu_config5_tune.py parts A/B, round-4 sweep — PERF.md):
+
+      Sq < 8192 (512p sites, any KV):          1024x2048 (53.5 TF/s)
+      Sq >= 8192, Skv <= Sq (768p self-attn):  2048x1024 (20.5 vs 11.8)
+      Sq >= 8192, Skv > Sq (768p extended KV): 1024x1024 (65.4 vs 56.3)
+
+    TOKENFLOW_FLASH_BQ / TOKENFLOW_FLASH_BK override the table."""
+    import os
+
+    if sq < 8192:
+        bq, bk = 1024, 2048
+    elif skv <= sq:
+        bq, bk = 2048, 1024
+    else:
+        bq, bk = 1024, 1024
+    return (
+        int(os.environ.get("TOKENFLOW_FLASH_BQ", str(bq))),
+        int(os.environ.get("TOKENFLOW_FLASH_BK", str(bk))),
+    )
+
+
 def flash_attention_sharded(
     q: jax.Array,  # (B, Sq, H, D) — framework layout
     k: jax.Array,
@@ -273,14 +297,16 @@ def flash_attention_sharded(
     """Mesh-aware Pallas flash attention (see _sharded_flash). Engaged by
     the dispatch when TOKENFLOW_FLASH_SHARDED=1 (set by the CLI when a
     frames mesh is active); identical math to flash_attention_pallas."""
-    import os
-
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
+    # NOTE: under the mesh rule Sq here is the GLOBAL query length; the
+    # per-shard kernel sees Sq/n_shards, but the shape class (512p vs
+    # 768p site) is the same either way at the supported geometries
+    bq, bk = default_blocks(q.shape[1], k.shape[1])
     fa = _sharded_flash(
         scale,
-        int(os.environ.get("TOKENFLOW_FLASH_BQ", "1024")),
-        int(os.environ.get("TOKENFLOW_FLASH_BK", "2048")),
+        bq,
+        bk,
         _env_flag("TOKENFLOW_FLASH_EXP2", True),
         _env_flag("TOKENFLOW_FLASH_SOFT_BF16", False),
         interpret,
@@ -300,17 +326,13 @@ def flash_attention_pallas(
     use_exp2: bool | None = None,
     soft_bf16: bool | None = None,
 ) -> jax.Array:
-    import os
-
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
-    # defaults re-tuned round 2 (scripts/tpu_flash_tune.py + validate_scan):
-    # bq=1024/bk=2048 gives 53.5 TF/s at SD self-attn shapes (vs 52.3 at
-    # 1024/1024) and 0.986 s/step in the full edit scan (vs 1.003)
-    if bq is None:
-        bq = int(os.environ.get("TOKENFLOW_FLASH_BQ", "1024"))
-    if bk is None:
-        bk = int(os.environ.get("TOKENFLOW_FLASH_BK", "2048"))
+    # per-shape-class measured defaults (see default_blocks)
+    if bq is None or bk is None:
+        dbq, dbk = default_blocks(q.shape[1], k.shape[1])
+        bq = dbq if bq is None else bq
+        bk = dbk if bk is None else bk
     if use_exp2 is None:
         use_exp2 = _env_flag("TOKENFLOW_FLASH_EXP2", True)
     if soft_bf16 is None:
