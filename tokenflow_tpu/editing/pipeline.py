@@ -68,14 +68,14 @@ class PivotalShardings:
     kf_attn: jax.sharding.Sharding
 
     def constrain_cache(self, cache: dict) -> dict:
+        # kf_attn carries the keyframe axis at position 1; every other
+        # cache leaf (pivot_h, pivot_h_uncond, conv_src) leads with it
         return {
             site: {
-                "pivot_h": jax.lax.with_sharding_constraint(
-                    entry["pivot_h"], self.pivot_h
-                ),
-                "kf_attn": jax.lax.with_sharding_constraint(
-                    entry["kf_attn"], self.kf_attn
-                ),
+                key: jax.lax.with_sharding_constraint(
+                    arr, self.kf_attn if key == "kf_attn" else self.pivot_h
+                )
+                for key, arr in entry.items()
             }
             for site, entry in cache.items()
         }
@@ -250,6 +250,7 @@ def tokenflow_sample_loop(
     fused: bool = False,  # single-pass pivotal+propagation (EditMode.FUSED)
     pivotal_shardings: Optional["PivotalShardings"] = None,
     pivot_indices: Optional[jax.Array] = None,  # (T, n_windows) absolute
+    prop_approx: bool = False,  # source-free propagation pass (NON-PARITY)
 ) -> jax.Array:
     """Run the full TokenFlow edit; returns denoised latents (F, h, w, 4).
 
@@ -257,6 +258,17 @@ def tokenflow_sample_loop(
     PRNG draw) — required for reference A/B parity runs and the composed
     torch golden; when None the pivots are exactly
     ``choose_pivots(rng, ...)``, so callers can record them host-side.
+
+    ``prop_approx`` (opt-in, NON-PARITY fast mode — config key
+    ``prop_approx`` / env TOKENFLOW_PROP_APPROX): the propagation pass
+    drops the source stream (~1/3 of its batch), which the exact path
+    carries through the full UNet solely to provide NN-matching features
+    and the conv-injection source (PERF.md known-overhead #3). The pivotal
+    pass (unchanged, 3-stream) additionally caches uncond matching tables
+    and the pivot source conv features; see editctx.UNetEdit.prop_approx
+    for the substitution semantics. Deviation from reference outputs is
+    bounded with the metrics harness (scripts/compare_outputs.py), not
+    asserted bitwise.
     """
     f_total = x_init.shape[0]
     n_windows = f_total // window_size
@@ -264,9 +276,10 @@ def tokenflow_sample_loop(
     chunk = propagate_chunk or f_total
     assert chunk % window_size == 0 and f_total % chunk == 0
     n_chunks = f_total // chunk
-    if fused and (n_chunks != 1 or controlnet_fn is not None):
-        # fusion assumes one full-batch propagation segment; chunked or
-        # ControlNet-conditioned runs use the two-pass form
+    if fused and (n_chunks != 1 or controlnet_fn is not None or prop_approx):
+        # fusion assumes one full-batch propagation segment; chunked,
+        # ControlNet-conditioned, or approximate-propagation runs use the
+        # two-pass form
         fused = False
 
     pa, pb, w1 = (jnp.asarray(a) for a in propagation_indices(f_total, window_size))
@@ -286,18 +299,28 @@ def tokenflow_sample_loop(
     depth_c = None if depth is None else chunk_view(depth)
     cond_c = None if cond_image is None else chunk_view(cond_image)
 
-    embeds_piv = _stream_embeds(embeds3, n_windows)
-    embeds_prop = _stream_embeds(embeds3, chunk)
+    n_prop = 2 if prop_approx else 3  # propagation-pass stream count
+    # SDEdit approx (no injection) is source-free in the PIVOTAL pass too:
+    # without PnP q/k + conv injection, no stream ever consumes the source
+    # stream, and matching runs uncond-vs-uncond (editctx src_free_piv)
+    src_free_piv = prop_approx and not pnp
+    n_piv = 2 if src_free_piv else 3
+    embeds_piv = _stream_embeds(
+        embeds3[1:] if src_free_piv else embeds3, n_windows
+    )
+    embeds_prop = _stream_embeds(
+        embeds3[1:] if prop_approx else embeds3, chunk
+    )
     embeds_fused = _stream_embeds(embeds3, n_windows + f_total)
 
-    def residual_kwargs(sample, t, embeds, cond):
-        """ControlNet residuals for a 3-stream pass (cond replicated per
+    def residual_kwargs(sample, t, embeds, cond, ns=3):
+        """ControlNet residuals for an ns-stream pass (cond replicated per
         stream, matching the reference's 3x concat of the conditioning,
         run_tokenflow_pnp.py:201 analog for depth)."""
         if controlnet_fn is None:
             return {}
-        cond3 = jnp.repeat(cond, 3, axis=0)  # frame-major replication
-        down, mid = controlnet_fn(sample, t, embeds, cond3)
+        cond_s = jnp.repeat(cond, ns, axis=0)  # frame-major replication
+        down, mid = controlnet_fn(sample, t, embeds, cond_s)
         return dict(
             down_block_residuals=down, mid_block_residual=mid
         )
@@ -350,11 +373,17 @@ def tokenflow_sample_loop(
         x_piv, src_piv, d_piv = x[piv], src[piv], (
             None if depth is None else depth[piv]
         )
-        sample_piv = _stack_streams(
-            _with_depth(src_piv, d_piv),
-            _with_depth(x_piv, d_piv),
-            _with_depth(x_piv, d_piv),
-        )
+        if src_free_piv:
+            sample_piv = _stack_streams(
+                _with_depth(x_piv, d_piv),
+                _with_depth(x_piv, d_piv),
+            )
+        else:
+            sample_piv = _stack_streams(
+                _with_depth(src_piv, d_piv),
+                _with_depth(x_piv, d_piv),
+                _with_depth(x_piv, d_piv),
+            )
         if pivotal_shardings is not None:
             sample_piv = jax.lax.with_sharding_constraint(
                 sample_piv, pivotal_shardings.batch
@@ -363,6 +392,7 @@ def tokenflow_sample_loop(
             mode=editctx.EditMode.PIVOTAL,
             n_frames=n_windows,
             pnp=pnp,
+            prop_approx=prop_approx,
             qk_gate=qk_g,
             conv_gate=conv_g,
         )
@@ -373,6 +403,7 @@ def tokenflow_sample_loop(
             **residual_kwargs(
                 sample_piv, t, embeds_piv,
                 None if cond_image is None else cond_image[piv],
+                ns=n_piv,
             ),
         )
         if pivotal_shardings is not None:
@@ -381,15 +412,25 @@ def tokenflow_sample_loop(
         # ---- propagation pass over all frames (chunked)
         def prop_one(args):
             x_c, src_c, pa_i, pb_i, w1_i, d_i, cn_i = args
-            sample = _stack_streams(
-                _with_depth(src_c, d_i),
-                _with_depth(x_c, d_i),
-                _with_depth(x_c, d_i),
-            )
+            if prop_approx:
+                # source-free pass: [uncond|cond] only (the source
+                # stream's outputs are discarded by CFG anyway; its
+                # features are substituted from the pivotal cache)
+                sample = _stack_streams(
+                    _with_depth(x_c, d_i),
+                    _with_depth(x_c, d_i),
+                )
+            else:
+                sample = _stack_streams(
+                    _with_depth(src_c, d_i),
+                    _with_depth(x_c, d_i),
+                    _with_depth(x_c, d_i),
+                )
             edit = editctx.UNetEdit(
                 mode=editctx.EditMode.PROPAGATE,
                 n_frames=chunk,
                 pnp=pnp,
+                prop_approx=prop_approx,
                 qk_gate=qk_g,
                 conv_gate=conv_g,
                 cache=cache,
@@ -399,13 +440,13 @@ def tokenflow_sample_loop(
             )
             eps_c, _ = unet_apply(
                 params, sample, t, embeds_prop, edit,
-                **residual_kwargs(sample, t, embeds_prop, cn_i),
+                **residual_kwargs(sample, t, embeds_prop, cn_i, ns=n_prop),
             )
-            # stay FRAME-MAJOR (chunk, 3, ...): CFG slices the stream axis
+            # stay FRAME-MAJOR (chunk, ns, ...): CFG slices the stream axis
             # directly; the former stream-major moveaxis was a per-step
             # transpose XLA materialized in the scan (PERF.md round-2 op
             # profile "copies/scan plumbing")
-            return eps_c.reshape(chunk, 3, *eps_c.shape[1:])
+            return eps_c.reshape(chunk, n_prop, *eps_c.shape[1:])
 
         x_c, src_c = chunk_view(x), chunk_view(src)
         if n_chunks == 1:
@@ -428,11 +469,13 @@ def tokenflow_sample_loop(
             eps3 = jax.lax.map(
                 unpack, (x_c, src_c, pa_c, pb_c, w1_c, *aux)
             )
-            # (n_chunks, chunk, 3, ...) -> (F, 3, ...)
-            eps3 = eps3.reshape(f_total, 3, *eps3.shape[3:])
+            # (n_chunks, chunk, ns, ...) -> (F, ns, ...)
+            eps3 = eps3.reshape(f_total, n_prop, *eps3.shape[3:])
 
+        # stream layout: [src|uncond|cond] exact, [uncond|cond] approx
+        u_idx, c_idx = (0, 1) if prop_approx else (1, 2)
         eps = ddim.classifier_free_guidance(
-            eps3[:, 1], eps3[:, 2], guidance_scale
+            eps3[:, u_idx], eps3[:, c_idx], guidance_scale
         )
         x = ddim.ddim_step(x, eps, a_t, a_prev).astype(x.dtype)
         return x, None

@@ -207,7 +207,7 @@ def flash_attention_bhsd(
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_flash(scale, bq, bk, use_exp2, soft_bf16, interpret):
+def _sharded_flash(scale, use_exp2, soft_bf16, interpret):
     """custom_partitioning wrapper: a plain pallas_call has no SPMD rule,
     so GSPMD would all-gather every operand and compute the kernel
     REPLICATED on each device of a mesh. This rule implements the Ulysses
@@ -215,11 +215,22 @@ def _sharded_flash(scale, bq, bk, use_exp2, soft_bf16, interpret):
     under the sharded pivotal pass the keyframe axis lives flattened
     inside Sq), K/V are all-gathered over the mesh, each device runs the
     kernel on its query shard against the full K/V (exact: softmax rows
-    are independent), and the output inherits the query sharding."""
+    are independent), and the output inherits the query sharding.
+
+    Blocks are classed INSIDE the per-shard computation: ``partition``
+    re-traces ``_call`` on the locally-sharded shapes, so default_blocks
+    sees the PER-SHARD query length (e.g. the 512p pivotal pass on a
+    v5e-8 runs Sq=2560 per shard, a different class than the global
+    20480 — classing globally wasted ~38% of query rows as padding at
+    that geometry)."""
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec
 
     def _call(q, k, v):
+        # q here has the LOCAL (per-shard) shape when invoked as the
+        # partitioned computation, and the global shape when traced
+        # without a mesh — either way it is the shape the kernel runs
+        bq, bk = default_blocks(q.shape[1], k.shape[1])
         return flash_attention_bhsd(
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
@@ -299,14 +310,10 @@ def flash_attention_sharded(
     frames mesh is active); identical math to flash_attention_pallas."""
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
-    # NOTE: under the mesh rule Sq here is the GLOBAL query length; the
-    # per-shard kernel sees Sq/n_shards, but the shape class (512p vs
-    # 768p site) is the same either way at the supported geometries
-    bq, bk = default_blocks(q.shape[1], k.shape[1])
+    # blocks are classed inside the per-shard computation (_sharded_flash
+    # _call) so the table sees the LOCAL query length under a mesh
     fa = _sharded_flash(
         scale,
-        bq,
-        bk,
         _env_flag("TOKENFLOW_FLASH_EXP2", True),
         _env_flag("TOKENFLOW_FLASH_SOFT_BF16", False),
         interpret,

@@ -66,7 +66,9 @@ def _kernel(
     oh2 = onehot_argmax(phat_b_ref)
     w = w1_ref[f]
 
-    for c in range(3):
+    # stream count is the leading kf-table axis: 3 ([source|uncond|cond])
+    # on the exact path, 2 ([uncond|cond]) under approximate propagation
+    for c in range(out_ref.shape[0]):
         g1 = jax.lax.dot_general(
             oh1, kf_a_ref[c, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -80,14 +82,16 @@ def _kernel(
         out_ref[c, 0] = (w * g1 + (1.0 - w) * g2).astype(out_ref.dtype)
 
 
-def fits_vmem(s: int, d: int, bq: int = 128, budget: int = 100 << 20) -> bool:
+def fits_vmem(
+    s: int, d: int, bq: int = 128, budget: int = 100 << 20, ns: int = 3
+) -> bool:
     """Dispatch predicate: VMEM feasibility AND measured profitability.
 
     Tables count double for pipeline double-buffering. Profitability: on
     v5e the kernel wins up to the 512p top site and loses at 768p (table
     size drives residual DMA + VMEM pressure), hence the kf-block cap.
     """
-    kf_block = 3 * s * d * 2  # one (3,S,D) bf16 kf table block
+    kf_block = ns * s * d * 2  # one (ns,S,D) bf16 kf table block
     if kf_block > (12 << 20):
         return False
     tables = 2 * (2 * kf_block + 2 * s * d * 2)  # kf_a/b + phat_a/b, dbuf
@@ -110,6 +114,7 @@ def token_match_gather_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     f_total, s, d = norm_h_src.shape
+    ns = kf_attn.shape[0]
     bq = min(bq, s)
     assert s % bq == 0, (s, bq)
     n_q = s // bq
@@ -135,18 +140,18 @@ def token_match_gather_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, 1, s, d),
+                (ns, 1, s, d),
                 lambda f, iq, pa_ref, pb_ref, w1_ref: (0, pa_ref[f], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, 1, s, d),
+                (ns, 1, s, d),
                 lambda f, iq, pa_ref, pb_ref, w1_ref: (0, pb_ref[f], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (3, 1, bq, d),
+            (ns, 1, bq, d),
             lambda f, iq, pa_ref, pb_ref, w1_ref: (0, f, iq, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -155,7 +160,7 @@ def token_match_gather_pallas(
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((3, f_total, s, d), dtype),
+        out_shape=jax.ShapeDtypeStruct((ns, f_total, s, d), dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20,
         ),
@@ -194,7 +199,8 @@ def _sharded_match(interpret: bool):
 
     def _call(norm_h, p_hat, kf_attn, pa, pb, w1):
         s, d = norm_h.shape[1], norm_h.shape[2]
-        if fits_vmem(s, d):
+        ns = kf_attn.shape[0]
+        if fits_vmem(s, d, ns=ns):
             return token_match_gather_pallas(
                 norm_h, p_hat, kf_attn, pa, pb, w1, interpret=interpret
             )
@@ -203,7 +209,7 @@ def _sharded_match(interpret: bool):
             token_match_gather_split,
         )
 
-        if split_fits_vmem(s, d):
+        if split_fits_vmem(s, d, ns=ns):
             return token_match_gather_split(
                 norm_h, p_hat, kf_attn, pa, pb, w1, interpret=interpret
             )

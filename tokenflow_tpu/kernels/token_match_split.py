@@ -27,14 +27,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def split_fits_vmem(s: int, d: int, budget: int = 100 << 20) -> bool:
+def split_fits_vmem(
+    s: int, d: int, budget: int = 100 << 20, ns: int = 3
+) -> bool:
     """VMEM gate for the gather stage (the tighter of the two kernels):
-    both pivots' (3, S, D) bf16 kf tables double-buffered, plus the
+    both pivots' (ns, S, D) bf16 kf tables double-buffered, plus the
     per-frame int32 index rows. Sites where this fails (e.g. 1024p-class
     latents, S=16384/D=320 -> ~126MB resident tables) must use the jnp
     match/gather instead — a VMEM overrun inside the edit scan can crash
     the TPU worker rather than raise (repo environment notes)."""
-    return 2 * 2 * (3 * s * d * 2) + 2 * 256 * s * 2 < budget
+    return 2 * 2 * (ns * s * d * 2) + 2 * 256 * s * 2 < budget
 
 
 def _match_kernel(
@@ -101,7 +103,7 @@ def _gather_kernel(
     oh1 = (col == i1).astype(out_ref.dtype)
     oh2 = (col == i2).astype(out_ref.dtype)
     w = w1_ref[f]
-    for c in range(3):
+    for c in range(out_ref.shape[0]):
         g1 = jax.lax.dot_general(
             oh1, kfa_ref[c, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -132,6 +134,7 @@ def token_match_gather_split(
     interpret: bool = False,
 ) -> jax.Array:
     f_total, s, d = norm_h_src.shape
+    ns = kf_attn.shape[0]
     dtype = kf_attn.dtype
     bq_match = min(bq_match, s)
     bz = min(bz, s)
@@ -206,18 +209,18 @@ def token_match_gather_split(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, 1, s, d),
+                (ns, 1, s, d),
                 lambda f, iq, pa_ref, pb_ref, w1_ref: (0, pa_ref[f], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, 1, s, d),
+                (ns, 1, s, d),
                 lambda f, iq, pa_ref, pb_ref, w1_ref: (0, pb_ref[f], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (3, 1, bq_gather, d),
+            (ns, 1, bq_gather, d),
             lambda f, iq, pa_ref, pb_ref, w1_ref: (0, f, iq, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -225,7 +228,7 @@ def token_match_gather_split(
     out = pl.pallas_call(
         _gather_kernel,
         grid_spec=gather_spec,
-        out_shape=jax.ShapeDtypeStruct((3, f_total, s, d), dtype),
+        out_shape=jax.ShapeDtypeStruct((ns, f_total, s, d), dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(pa, pb, w1.astype(jnp.float32), ia, ib, kf_attn, kf_attn)

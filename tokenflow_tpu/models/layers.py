@@ -261,10 +261,13 @@ class BasicTransformerBlock(nn.Module):
             # the full hidden states at every edit site (measured,
             # scripts/inspect_sharded_hlo.py); the frame-major layout
             # factors cleanly over the frames mesh.
-            kf = edit.n_frames
+            # ns=3 exact ([source|uncond|cond]); ns=2 for the source-free
+            # SDEdit approximate pivotal pass ([uncond|cond], see
+            # editctx.UNetEdit.for_site src_free_piv)
+            kf, ns = edit.n_frames, edit.n_streams
             q, k, v = self.attn1.qkv(h_norm)
             q3, k3, v3 = (
-                p.reshape(kf, 3, s, -1).transpose(1, 0, 2, 3)
+                p.reshape(kf, ns, s, -1).transpose(1, 0, 2, 3)
                 for p in (q, k, v)
             )
             if edit.qk_inject_site:
@@ -276,18 +279,28 @@ class BasicTransformerBlock(nn.Module):
                 o3.transpose(1, 0, 2, 3).reshape(b, s, -1)
             )
             cache_out = {
-                # source-stream normed states drive the NN matching
-                # (reference uses pivot_hidden_states[0],
-                # tokenflow_utils.py:335-336)
-                "pivot_h": h_norm.reshape(kf, 3, s, dim)[:, 0],
-                "kf_attn": attn_out.reshape(kf, 3, s, dim).transpose(
+                # stream-0 normed states drive the NN matching: the
+                # source stream (reference pivot_hidden_states[0],
+                # tokenflow_utils.py:335-336), or uncond when source-free
+                "pivot_h": h_norm.reshape(kf, ns, s, dim)[:, 0],
+                "kf_attn": attn_out.reshape(kf, ns, s, dim).transpose(
                     1, 0, 2, 3
                 ),
             }
+            if edit.cache_uncond:
+                # matching table of the approximate (source-free)
+                # propagation pass — see editctx.UNetEdit.prop_approx
+                cache_out["pivot_h_uncond"] = h_norm.reshape(
+                    kf, ns, s, dim
+                )[:, 1]
         elif mode == editctx.EditMode.PROPAGATE:
-            f = edit.n_frames
+            f, ns = edit.n_frames, edit.n_streams
+            # stream 0 of the batch drives the matching: the source
+            # stream in the exact 3-stream layout, the uncond stream in
+            # the approximate 2-stream layout (matched against the
+            # pivot_h_uncond table editctx.for_site routed in)
             o3 = token_propagation(
-                h_norm.reshape(f, 3, s, dim)[:, 0],
+                h_norm.reshape(f, ns, s, dim)[:, 0],
                 edit.pivot_h,
                 edit.kf_attn,
                 edit.prop_pa,
@@ -388,7 +401,12 @@ class ResnetBlock2D(nn.Module):
     """GN-silu-conv ×2 with additive time embedding and optional PnP
     feature injection after conv2 (reference tokenflow_utils.py:86-91:
     uncond/cond hidden streams overwritten by the source stream; the
-    shortcut path is NOT injected)."""
+    shortcut path is NOT injected).
+
+    With an edit directive the call returns ``(out, cache)`` — cache is
+    ``{"conv_src": (K, h, w, c)}`` in approximate PIVOTAL mode (the pivot
+    source conv2 features the source-free propagation pass blends in,
+    editctx.ConvEdit) and None otherwise."""
 
     out_channels: int
     eps: float = 1e-5
@@ -419,18 +437,34 @@ class ResnetBlock2D(nn.Module):
         h = FusedGroupNorm(name="norm2", **gn)(h)
         h = nn.Conv(self.out_channels, (3, 3), name="conv2", **common)(h)
 
+        cache = None
         if edit is not None and edit.gate is not None:
-            # frame-major batch: (f, 3, ...) view, stream axis is axis 1
-            f = edit.n_frames
-            h3 = h.reshape(f, 3, *h.shape[1:])
-            src = jnp.broadcast_to(h3[:, :1], h3.shape)
+            # frame-major batch: (f, ns, ...) view, stream axis is axis 1
+            f, ns = edit.n_frames, edit.n_streams
+            h3 = h.reshape(f, ns, *h.shape[1:])
+            if edit.approx and edit.mode == editctx.EditMode.PROPAGATE:
+                # source-free pass: inject the two-pivot distance blend of
+                # the cached pivot source features (temporal approximation
+                # of the exact per-frame source features)
+                src = (
+                    edit.prop_w1[:, None, None, None]
+                    * edit.src_cache[edit.prop_pa].astype(jnp.float32)
+                    + (1.0 - edit.prop_w1)[:, None, None, None]
+                    * edit.src_cache[edit.prop_pb].astype(jnp.float32)
+                ).astype(h3.dtype)
+                src = jnp.broadcast_to(src[:, None], h3.shape)
+            else:
+                src = jnp.broadcast_to(h3[:, :1], h3.shape)
+                if edit.approx and edit.mode == editctx.EditMode.PIVOTAL:
+                    cache = {"conv_src": h3[:, 0]}
             h = jnp.where(edit.gate, src, h3).reshape(h.shape)
 
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), name="conv_shortcut", **common
             )(x)
-        return x + h
+        out = x + h
+        return out if edit is None else (out, cache)
 
 
 class Downsample2D(nn.Module):

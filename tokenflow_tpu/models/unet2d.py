@@ -187,9 +187,13 @@ class UNet2DConditionModel(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 conv_site = f"up_{i}_res_{j}"
-                h = resnet(rev[i], conv_site)(
-                    h, temb, edit.for_conv(conv_site)
-                )
+                conv_edit = edit.for_conv(conv_site)
+                if conv_edit is None:
+                    h = resnet(rev[i], conv_site)(h, temb)
+                else:
+                    h, c = resnet(rev[i], conv_site)(h, temb, conv_edit)
+                    if c is not None:
+                        cache[conv_site] = c
                 if cfg.attn_up[i]:
                     site = f"up_{i}_{j}"
                     h, c = attn(level, f"up_{i}_attn_{j}")(

@@ -50,10 +50,18 @@ class BlockEdit:
     n_frames: int = struct.field(pytree_node=False, default=1)
     n_pivots: int = struct.field(pytree_node=False, default=0)  # FUSED mode
     qk_inject_site: bool = struct.field(pytree_node=False, default=False)
+    # streams in this pass's frame-major batch. 3 ([source|uncond|cond],
+    # the reference layout) except the approximate propagation pass
+    # (UNetEdit.prop_approx), which drops the source stream and runs
+    # [uncond|cond]. Stream 0 of the batch always drives the NN matching.
+    n_streams: int = struct.field(pytree_node=False, default=3)
+    # PIVOTAL only: additionally cache the uncond-stream normed states
+    # (the matching table of the approximate propagation pass)
+    cache_uncond: bool = struct.field(pytree_node=False, default=False)
     # -- dynamic
     qk_gate: Optional[jax.Array] = None  # scalar bool: t in PnP qk schedule
-    pivot_h: Optional[jax.Array] = None  # (K, S, D) cached source normed h
-    kf_attn: Optional[jax.Array] = None  # (3, K, S, D) cached attn outputs
+    pivot_h: Optional[jax.Array] = None  # (K, S, D) cached matching states
+    kf_attn: Optional[jax.Array] = None  # (n_streams, K, S, D) cached outs
     # propagation metadata (ops.propagation.propagation_indices), sliced to
     # this pass's frames so propagation can be chunked over frames:
     prop_pa: Optional[jax.Array] = None  # (F,) own-window pivot index
@@ -64,10 +72,29 @@ class BlockEdit:
 @struct.dataclass
 class ConvEdit:
     """Edit directive for the PnP feature-injection resnet site
-    (reference tokenflow_utils.py:49-104, installed on up_blocks[1].resnets[1])."""
+    (reference tokenflow_utils.py:49-104, installed on up_blocks[1].resnets[1]).
 
+    Exact mode (``approx=False``): the uncond/cond streams of the 3-stream
+    batch are overwritten with the source stream after conv2 — identical in
+    pivotal and propagation passes. Approximate mode (UNetEdit.prop_approx):
+    the PIVOTAL pass additionally caches the pivots' source conv2 features
+    (returned as ``{"conv_src": (K, h, w, c)}``); the PROPAGATE pass runs
+    source-free ([uncond|cond]) and injects the two-pivot distance blend of
+    the cached pivot features instead (same pa/pb/w1 metadata as the token
+    propagation sites) — a temporal approximation of the per-frame source
+    features the exact pass computes."""
+
+    # -- static
+    mode: str = struct.field(pytree_node=False, default=EditMode.NONE)
     n_frames: int = struct.field(pytree_node=False, default=1)
+    n_streams: int = struct.field(pytree_node=False, default=3)
+    approx: bool = struct.field(pytree_node=False, default=False)
+    # -- dynamic
     gate: Optional[jax.Array] = None  # scalar bool: t in PnP f schedule
+    src_cache: Optional[jax.Array] = None  # (K, h, w, c) pivot source conv2
+    prop_pa: Optional[jax.Array] = None  # (F,)
+    prop_pb: Optional[jax.Array] = None  # (F,)
+    prop_w1: Optional[jax.Array] = None  # (F,)
 
 
 @struct.dataclass
@@ -84,6 +111,14 @@ class UNetEdit:
     n_frames: int = struct.field(pytree_node=False, default=1)
     n_pivots: int = struct.field(pytree_node=False, default=0)
     pnp: bool = struct.field(pytree_node=False, default=False)
+    # approximate propagation (opt-in, NON-PARITY fast mode): the
+    # propagation pass drops the source stream — ~1/3 of its batch, which
+    # exists solely to provide NN-matching features and the conv-injection
+    # source (PERF.md known-overhead #3). Matching then runs on the uncond
+    # stream against uncond pivot states cached by the pivotal pass
+    # (``pivot_h_uncond``), and conv injection blends cached pivot source
+    # features (see ConvEdit). PIVOTAL passes still run all 3 streams.
+    prop_approx: bool = struct.field(pytree_node=False, default=False)
     qk_gate: Optional[jax.Array] = None
     conv_gate: Optional[jax.Array] = None
     cache: Optional[dict[str, dict[str, jax.Array]]] = None
@@ -93,14 +128,40 @@ class UNetEdit:
 
     def for_site(self, site: str) -> BlockEdit:
         entry = (self.cache or {}).get(site)
+        approx_prop = self.prop_approx and self.mode == EditMode.PROPAGATE
+        # SDEdit approx is source-free EVERYWHERE: without PnP injection
+        # no stream ever consumes the source, so even the pivotal pass
+        # runs [uncond|cond] and its cache is born 2-stream, uncond-led.
+        src_free_piv = (
+            self.prop_approx
+            and not self.pnp
+            and self.mode == EditMode.PIVOTAL
+        )
+        if entry is None:
+            pivot_h = kf_attn = None
+        elif approx_prop and self.pnp:
+            # 3-stream pivotal cache: match uncond-vs-uncond, gather only
+            # the [uncond|cond] outputs
+            pivot_h = entry["pivot_h_uncond"]
+            kf_attn = entry["kf_attn"][1:]
+        else:
+            # exact cache, or the already-2-stream source-free cache
+            pivot_h = entry["pivot_h"]
+            kf_attn = entry["kf_attn"]
         return BlockEdit(
             mode=self.mode,
             n_frames=self.n_frames,
             n_pivots=self.n_pivots,
             qk_inject_site=self.pnp and site in QK_INJECT_SITES,
+            n_streams=2 if (approx_prop or src_free_piv) else 3,
+            cache_uncond=(
+                self.prop_approx
+                and self.pnp
+                and self.mode == EditMode.PIVOTAL
+            ),
             qk_gate=self.qk_gate,
-            pivot_h=None if entry is None else entry["pivot_h"],
-            kf_attn=None if entry is None else entry["kf_attn"],
+            pivot_h=pivot_h,
+            kf_attn=kf_attn,
             prop_pa=self.prop_pa,
             prop_pb=self.prop_pb,
             prop_w1=self.prop_w1,
@@ -109,9 +170,19 @@ class UNetEdit:
     def for_conv(self, site: str) -> Optional[ConvEdit]:
         if not self.pnp or site != CONV_INJECT_SITE:
             return None
+        approx_prop = self.prop_approx and self.mode == EditMode.PROPAGATE
+        entry = (self.cache or {}).get(site)
         # FUSED batches are [K pivots | F frames] per stream
         return ConvEdit(
-            n_frames=self.n_frames + self.n_pivots, gate=self.conv_gate
+            mode=self.mode,
+            n_frames=self.n_frames + self.n_pivots,
+            n_streams=2 if approx_prop else 3,
+            approx=self.prop_approx,
+            gate=self.conv_gate,
+            src_cache=None if entry is None else entry["conv_src"],
+            prop_pa=self.prop_pa,
+            prop_pb=self.prop_pb,
+            prop_w1=self.prop_w1,
         )
 
 

@@ -50,18 +50,33 @@ def extended_attention(
     scale: float | None = None,
     kv_block: int = 2048,
 ) -> jax.Array:
-    """3-stream keyframe attention.
+    """Multi-stream keyframe attention.
 
-    q3/k3/v3: (3, K, S, inner) projected q/k/v for [source|uncond|cond].
-    Returns (3, K, S, inner): source = per-frame self-attention; uncond and
-    cond = each frame's queries attend over all K frames' keys/values
-    jointly (implemented as one dense attention over the flattened K*S
-    sequence per stream).
+    q3/k3/v3: (3, K, S, inner) projected q/k/v for [source|uncond|cond]
+    (the reference layout), or (2, K, S, inner) [uncond|cond] for the
+    source-free SDEdit approximate pivotal pass (editctx prop_approx with
+    pnp=False — without injection no stream ever consumes the source, so
+    it can be dropped here too).
+    Returns (ns, K, S, inner): source (when present) = per-frame
+    self-attention; uncond and cond = each frame's queries attend over all
+    K frames' keys/values jointly (implemented as one dense attention over
+    the flattened K*S sequence per stream).
     """
-    three, kf, s, inner = q3.shape
-    assert three == 3
+    ns, kf, s, inner = q3.shape
+    assert ns in (2, 3), ns
     d = inner // heads
     scale = d**-0.5 if scale is None else scale
+
+    # Uncond + cond streams (the last two): dense attention over the
+    # flattened keyframe token sequence, batched as 2 streams.
+    ext = slice(ns - 2, ns)
+    q_ext = split_heads(q3[ext].reshape(2, kf * s, inner), heads)
+    k_ext = split_heads(k3[ext].reshape(2, kf * s, inner), heads)
+    v_ext = split_heads(v3[ext].reshape(2, kf * s, inner), heads)
+    out_ext = flash_attention(q_ext, k_ext, v_ext, scale=scale, kv_block=kv_block)
+    out_ext = merge_heads(out_ext).reshape(2, kf, s, inner)
+    if ns == 2:
+        return out_ext
 
     # Source stream: per-frame self-attention, batch = K frames.
     out_src = flash_attention(
@@ -71,19 +86,8 @@ def extended_attention(
         scale=scale,
         kv_block=kv_block,
     )
-
-    # Uncond + cond streams: dense attention over the flattened keyframe
-    # token sequence, batched as 2 streams.
-    q_ext = split_heads(q3[1:].reshape(2, kf * s, inner), heads)
-    k_ext = split_heads(k3[1:].reshape(2, kf * s, inner), heads)
-    v_ext = split_heads(v3[1:].reshape(2, kf * s, inner), heads)
-    out_ext = flash_attention(q_ext, k_ext, v_ext, scale=scale, kv_block=kv_block)
-
     out = jnp.concatenate(
-        [
-            merge_heads(out_src).reshape(1, kf, s, inner),
-            merge_heads(out_ext).reshape(2, kf, s, inner),
-        ],
+        [merge_heads(out_src).reshape(1, kf, s, inner), out_ext],
         axis=0,
     )
     return out

@@ -147,6 +147,7 @@ def token_propagation(
       (3, F, S, D) propagated attention outputs, dtype of kf_attn.
     """
     f_total, s, d = norm_h_src.shape
+    ns = kf_attn.shape[0]  # 3 exact; 2 under approximate propagation
 
     # Normalize pivot tokens once (query-side normalization is argmax-
     # invariant, see module docstring).
@@ -182,7 +183,7 @@ def token_propagation(
                 pb_f,
                 w1,
             )
-        if fits_vmem(s, d):
+        if fits_vmem(s, d, ns=ns):
             return token_match_gather_pallas(
                 norm_h_src,
                 p_hat.astype(norm_h_src.dtype),
@@ -197,7 +198,7 @@ def token_propagation(
             split_fits_vmem,
         )
 
-        if split_fits_vmem(s, d):
+        if split_fits_vmem(s, d, ns=ns):
             return token_match_gather_split(
                 norm_h_src,
                 p_hat.astype(norm_h_src.dtype),
