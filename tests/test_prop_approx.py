@@ -264,3 +264,33 @@ def test_kernel_gather_generalizes_to_two_streams():
         )
     )
     np.testing.assert_allclose(ref, split, rtol=1e-5, atol=1e-5)
+
+
+def test_approx_segmented_dispatch_matches_single(tiny):
+    """prop_approx composes with segmented dispatch: sequential segment
+    scans with the carry threaded == one dispatch, bitwise (same property
+    as the exact path, test_pipeline.py::test_segmented_dispatch_*)."""
+    f, ws, steps = 4, 2, 4
+    (model, params, x_init, traj, embeds3, schedule, unet_apply) = _setup(
+        tiny, f, ws, steps
+    )
+    pivots = _pinned_pivots(steps, f // ws, ws)
+    kwargs = dict(
+        window_size=ws, guidance_scale=7.5, pnp=True,
+        rng=jax.random.PRNGKey(1), prop_approx=True,
+    )
+    single = pipeline.tokenflow_sample_loop(
+        unet_apply, params, x_init, traj, embeds3, schedule,
+        pivot_indices=pivots, **kwargs,
+    )
+    from tokenflow_tpu.utils import segment_slices
+
+    x = x_init
+    for seg, sl in zip(
+        pipeline.split_schedule(schedule, 2), segment_slices(steps, 2)
+    ):
+        x = pipeline.tokenflow_sample_loop(
+            unet_apply, params, x, traj, embeds3, seg,
+            pivot_indices=pivots[sl], **kwargs,
+        )
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(x))
