@@ -99,6 +99,15 @@ EOF
 }
 
 # --- stage 1a: preprocess, killed mid-inversion ------------------------
+# Idempotent: a completed stage 1 leaves the trajectory behind; skip the
+# ~25 min inversion instead of redoing it when the driver is re-run after
+# an interruption (the kill+resume proof is in the preserved pre_1b.log).
+TRAJ=latents/sd_2.1/woman-running/steps_50/nframes_120/latents/trajectory.npz
+if [ -f "$TRAJ" ] && [ ! -f "$CKPT_INV" ]; then
+  log "stage 1 already complete ($TRAJ exists) -- skipping to stage 2"
+  T0=$(stamp); T1=$T0; T2=$T0
+else
+
 T0=$(stamp)
 log "stage 1a: preprocess (will be killed after 2 inversion dispatches)"
 "${PREPROCESS[@]}" > pre_1a.log 2>&1 &
@@ -118,6 +127,7 @@ log "stage 1b: preprocess resume"
 "${PREPROCESS[@]}" > pre_1b.log 2>&1
 T2=$(stamp)
 grep -h "resuming at dispatch\|inversion (\|reconstruction:\|prewarm\|compile-ahead" pre_1b.log || true
+fi  # stage-1 skip guard
 
 # --- stage 2a: edit, killed mid-loop ------------------------------------
 log "stage 2a: run_tokenflow_pnp (killed after 4 edit dispatches)"

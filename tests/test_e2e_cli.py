@@ -427,6 +427,88 @@ def test_segment_checkpointer_save_cadence(tmp_path):
     assert ck.resume(carry, 5)[0] == 2
 
 
+def test_segment_checkpointer_appended_delta(tmp_path, monkeypatch):
+    """Append-tracked carries (round 5, SegmentCheckpointer.save
+    ``appended``): the checkpointer pulls from the device ONLY the
+    trajectory rows added since its last transfer, yet writes an npz
+    bitwise-identical to the full-pull path — across plain saves, cadence
+    skips, and a mid-run resume (the config-5 finding this fixes: a full
+    ~0.44 GB carry pull per dispatch made the checkpointed inversion 5x
+    slower than the un-checkpointed reconstruction, PERF.md round 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tokenflow_tpu.cli import common
+
+    rng = np.random.default_rng(0)
+    vals = rng.standard_normal((6, 4)).astype(np.float32)
+
+    def carry_at(i):  # after segment i: save-grid rows [0, i+2) filled
+        hi = i + 2
+        t = np.zeros_like(vals)
+        t[:hi] = vals[:hi]
+        return (jnp.asarray([float(i)]), jnp.asarray(t)), hi
+
+    pulled = []
+    orig = jax.device_get
+
+    def spy(a):
+        out = orig(a)
+        pulled.append(int(np.asarray(out).size))
+        return out
+
+    monkeypatch.setattr(jax, "device_get", spy)
+
+    pa, pb = tmp_path / "full.npz", tmp_path / "delta.npz"
+    ck_full = common.SegmentCheckpointer(str(pa), "fp", True)
+    ck_delta = common.SegmentCheckpointer(str(pb), "fp", True)
+    for i in range(3):
+        carry, hi = carry_at(i)
+        ck_full.save(i, 9, carry)
+        pulled.clear()
+        ck_delta.save(i, 9, carry, appended={1: hi})
+        # carry 0 (1 elem, untracked) fully + ONLY the new rows of carry 1
+        new_rows = hi - (i + 1 if i else 0)
+        assert sorted(pulled) == sorted([1, new_rows * vals.shape[1]])
+        with np.load(pa) as fa, np.load(pb) as fb:
+            assert set(fa.files) == set(fb.files)
+            for k in fa.files:
+                np.testing.assert_array_equal(fa[k], fb[k])
+
+    # resume into a FRESH checkpointer (empty mirror): the first delta
+    # save must rebuild the full valid prefix once, then go incremental
+    ck2 = common.SegmentCheckpointer(str(pb), "fp", True)
+    done, _ = ck2.resume(carry_at(2)[0], 9)
+    assert done == 3
+    carry, hi = carry_at(3)
+    pulled.clear()
+    ck2.save(3, 9, carry, appended={1: hi})
+    assert max(pulled) == hi * vals.shape[1]  # full prefix, once
+    carry, hi = carry_at(4)
+    pulled.clear()
+    ck2.save(4, 9, carry, appended={1: hi})
+    assert max(pulled) == vals.shape[1]  # back to one-row deltas
+    ck_full.save(3, 9, carry_at(3)[0])
+    ck_full.save(4, 9, carry_at(4)[0])
+    with np.load(pa) as fa, np.load(pb) as fb:
+        for k in fa.files:
+            np.testing.assert_array_equal(fa[k], fb[k])
+
+    # cadence skip: nothing transfers on the skipped boundary; the next
+    # save pulls the union of the skipped rows
+    pc = tmp_path / "cad.npz"
+    ck3 = common.SegmentCheckpointer(str(pc), "fp", True, every=2)
+    carry, hi = carry_at(0)
+    pulled.clear()
+    ck3.save(0, 9, carry, appended={1: hi})  # boundary 1: skipped
+    assert not pulled and not pc.exists()
+    carry, hi = carry_at(1)
+    ck3.save(1, 9, carry, appended={1: hi})  # saved: rows [0, 3) at once
+    assert max(pulled) == hi * vals.shape[1]
+    with np.load(pc) as fc:
+        np.testing.assert_array_equal(fc["carry_1"], carry_at(1)[0][1])
+
+
 @pytest.mark.slow
 def test_preprocess_inversion_checkpoint_resume(inverted, monkeypatch):
     """--checkpoint_inversion: kill preprocess mid-inversion, rerun, and
@@ -453,8 +535,8 @@ def test_preprocess_inversion_checkpoint_resume(inverted, monkeypatch):
         ]
         orig_save = common.SegmentCheckpointer.save
 
-        def bombed_save(self, i, n, carry):
-            orig_save(self, i, n, carry)
+        def bombed_save(self, i, n, carry, **kw):
+            orig_save(self, i, n, carry, **kw)
             if i == 0:
                 raise RuntimeError("simulated kill")
 

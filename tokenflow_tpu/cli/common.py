@@ -486,6 +486,10 @@ class SegmentCheckpointer:
         # restarts from the last saved boundary (segments are exact scan
         # splits, so the replay is bitwise regardless of cadence)
         self.every = max(1, int(every or 1))
+        # append-tracked carries (see :meth:`save` ``appended``): host
+        # mirror + count of rows already pulled from the device
+        self._mirror: dict[int, np.ndarray] = {}
+        self._synced: dict[int, int] = {}
 
     def resume(self, carry: tuple, n_segments: int) -> tuple[int, tuple]:
         if not self.enabled or not os.path.exists(self.path):
@@ -522,7 +526,28 @@ class SegmentCheckpointer:
         )
         return done, tuple(restored)
 
-    def save(self, i: int, n_segments: int, carry: tuple) -> None:
+    def save(
+        self,
+        i: int,
+        n_segments: int,
+        carry: tuple,
+        appended: dict[int, int] | None = None,
+    ) -> None:
+        """``appended[j] = n`` declares carry ``j`` append-only along axis
+        0 with exactly ``n`` valid rows after this dispatch: rows below
+        ``n`` never change once written and rows at/above it still hold
+        the caller's initial zeros. Both properties hold for scan-
+        accumulated save-grid trajectories (inversion save slots are
+        ascending and write-once — diffusion/inversion.py::invert_scan).
+        The checkpointer then keeps a host mirror and ``device_get``s only
+        the rows added since the last save — at config-5 scale that turns
+        a ~0.44 GB-per-dispatch device→host pull over the relay tunnel
+        into ~44 MB (the round-5 on-chip measurement that motivated this:
+        checkpointed inversion 1251 s vs 234 s un-checkpointed
+        reconstruction at identical step counts, PERF.md round 5). The
+        npz file layout is unchanged, so old/new checkpoints interoperate
+        both ways. Cadence-skipped saves transfer nothing; the next save
+        pulls the union."""
         if not self.enabled or i >= n_segments - 1:
             return
         if (i + 1) % self.every:
@@ -531,7 +556,22 @@ class SegmentCheckpointer:
 
         payload = {}
         for j, a in enumerate(carry):
-            host = np.ascontiguousarray(np.asarray(jax.device_get(a)))
+            if appended and j in appended:
+                hi = int(appended[j])
+                m = self._mirror.get(j)
+                if m is None:
+                    # rows >= the valid count are untouched initial zeros
+                    # on device, so zeros is the correct mirror seed even
+                    # after a resume mid-run
+                    m = np.zeros(a.shape, np.dtype(a.dtype))
+                    self._mirror[j] = m
+                lo = self._synced.get(j, 0)
+                if hi > lo:
+                    m[lo:hi] = np.asarray(jax.device_get(a[lo:hi]))
+                    self._synced[j] = hi
+                host = m
+            else:
+                host = np.ascontiguousarray(np.asarray(jax.device_get(a)))
             if host.dtype == np.dtype(jnp.bfloat16):
                 payload[f"carry_{j}"] = host.view(np.uint16)
                 payload[f"dtype_{j}"] = "bfloat16"

@@ -399,6 +399,17 @@ def _run(opt) -> dict:
         x_T = lat
         traj = jnp.zeros((opt.save_steps, *lat.shape), lat.dtype)
         segs = xs_segments(xs_np)
+        # cumulative save-grid rows valid after each segment: lets the
+        # checkpointer pull only the trajectory rows each dispatch added
+        # (SegmentCheckpointer.save ``appended`` — the save-grid slots
+        # fill in ascending write-once order, inversion.inversion_xs)
+        filled = np.cumsum(np.asarray(xs_np[3], np.int64))
+        seg_hi = [
+            int(filled[s.stop - 1])
+            for s in utils.segment_slices(
+                len(xs_np[0]), utils.plan_seg_len(len(xs_np[0]), spd)
+            )
+        ]
         if len(segs) > 1:
             print(
                 f"[tokenflow-tpu] inversion in {len(segs)} dispatches "
@@ -420,7 +431,7 @@ def _run(opt) -> dict:
             if i < start_seg:
                 continue
             x_T, traj = invert(all_params, x_T, traj, xs_seg)
-            ck.save(i, len(segs), (x_T, traj))
+            ck.save(i, len(segs), (x_T, traj), appended={1: seg_hi[i]})
         ck.done()
         utils.force_completion(x_T)
     print(f"[tokenflow-tpu] inversion ({opt.steps} steps): {t_inv.seconds:.1f}s")
