@@ -126,3 +126,40 @@ def test_vae_segmented_dispatch_matches_single(stack):
     np.testing.assert_allclose(
         np.asarray(img_seg), np.asarray(img_one), rtol=1e-6, atol=1e-6
     )
+
+
+def test_decode_dtype_canonicalized_one_program(stack):
+    """decode_latents upcasts the latent input to fp32 so the fp32
+    encode_frames output and the bf16 edit-loop carry decode through ONE
+    compiled program per shape (PERF.md round 5: the second program
+    otherwise lands cold mid-run — a ~530 s remote-compile wall inside
+    decode_and_save at config-5 scale). bf16->fp32 is exact, so outputs
+    are bitwise identical across caller dtypes."""
+    rng = np.random.default_rng(3)
+    lat32 = jnp.asarray(rng.standard_normal((3, 16, 16, 4)), jnp.float32)
+    lat16 = lat32.astype(jnp.bfloat16)
+
+    img_from_bf16 = stack.decode_latents(lat16, batch=2)
+    img_from_fp32 = stack.decode_latents(lat16.astype(jnp.float32), batch=2)
+    np.testing.assert_array_equal(
+        np.asarray(img_from_bf16), np.asarray(img_from_fp32)
+    )
+
+
+def test_decode_prewarm_specs_match_dispatch(stack):
+    """decode_prewarm_specs must lower the EXACT programs decode_latents
+    dispatches: same jitted callable (jit cache hit, not a second
+    compile), fp32 input spec, and the planner's segment lengths."""
+    specs = stack.decode_prewarm_specs(7, (16, 16), batch=2,
+                                       frames_per_dispatch=3)
+    # 7 frames at cap 3 -> segments of 3+3+1 -> distinct lengths {1, 3}
+    lengths = sorted(s[1][1].shape[0] for s in specs)
+    assert lengths == [1, 3]
+    for fn, args, kwargs in specs:
+        assert fn is stack._vae_mapped("decode")  # shared jit cache
+        assert args[1].dtype == jnp.float32
+        lowered = fn.lower(*args, **kwargs)
+        assert lowered is not None
+    # unsegmented: one program at the full frame count
+    (one,) = stack.decode_prewarm_specs(5, (16, 16), batch=2)
+    assert one[1][1].shape == (5, 16, 16, 4)

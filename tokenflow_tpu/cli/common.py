@@ -351,7 +351,9 @@ def compile_ahead_enabled(config: dict) -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def start_compile_ahead(loop, example_args: tuple, label: str):
+def start_compile_ahead(
+    loop, example_args: tuple, label: str, example_kwargs: dict = None
+):
     """AOT-compile ``loop`` on (possibly abstract) ``example_args`` in a
     daemon thread, populating the in-the-loop compile path's persistent
     cache so the blocking jit call later in the run — or in the NEXT
@@ -369,7 +371,7 @@ def start_compile_ahead(loop, example_args: tuple, label: str):
     def work():
         try:
             with utils.Timer() as t:
-                loop.lower(*example_args).compile()
+                loop.lower(*example_args, **(example_kwargs or {})).compile()
             print(
                 f"[tokenflow-tpu] compile-ahead [{label}]: "
                 f"{t.seconds:.1f}s",
@@ -385,6 +387,29 @@ def start_compile_ahead(loop, example_args: tuple, label: str):
     th = threading.Thread(target=work, daemon=True, name=f"prewarm-{label}")
     th.start()
     return th
+
+
+def start_decode_prewarm(
+    stack, n_frames: int, latent_hw: tuple, config: dict,
+    *, batch: int = VAE_BATCH_SIZE,
+) -> list:
+    """Compile-ahead threads for the VAE decode program(s) this run will
+    dispatch (editor: vae_recon + decode_and_save; preprocess:
+    reconstruction frames + inverted.mp4 — all one fp32-canonical
+    program per shape since round 5). Returns [] on CPU backends (same
+    gate as :func:`compile_ahead_enabled`); callers gate on
+    ``mesh is None`` (the sharded decode compiles its own variant)."""
+    if not compile_ahead_enabled(config):
+        return []
+    return [
+        start_compile_ahead(fn, args, f"vae-decode/{i}", kwargs)
+        for i, (fn, args, kwargs) in enumerate(
+            stack.decode_prewarm_specs(
+                n_frames, latent_hw, batch=batch,
+                frames_per_dispatch=frames_per_dispatch_of(config),
+            )
+        )
+    ]
 
 
 def edit_prewarm_args(
@@ -637,6 +662,9 @@ class EditorData:
     embeds3: Any  # (3, 77, D) [inv | uncond | cond]
     save_path: str  # nframes_* dir containing latents/
     mesh: Any = None  # frames mesh when data_parallel is engaged
+    # decode compile-ahead threads launched by setup_editor (joined by
+    # save_vae_recon/save_outputs before their first decode dispatch)
+    decode_prewarm: list = dataclasses.field(default_factory=list)
 
 
 def setup_editor(
@@ -671,6 +699,16 @@ def setup_editor(
     print("Number of frames: ", n_frames)
     # mesh after the frame-count clamp (it must divide the mesh)
     mesh = maybe_frames_mesh(config, n_frames, config["batch_size"])
+
+    # AOT-compile the decode program while the device runs the VAE
+    # encode below: every editor decodes twice (vae_recon + outputs)
+    # through the same fp32-canonical program (PERF.md round 5)
+    decode_prewarm = []
+    if mesh is None:
+        hw = int(config["image_size"]) // 8
+        decode_prewarm = start_decode_prewarm(
+            stack, n_frames, (hw, hw), config
+        )
 
     frames = video_io.load_frames(
         config["data_path"], n_frames,
@@ -727,11 +765,14 @@ def setup_editor(
         embeds3=embeds3,
         save_path=save_path,
         mesh=mesh,
+        decode_prewarm=decode_prewarm,
     )
 
 
 def save_vae_recon(data: EditorData) -> None:
     """VAE round-trip sanity outputs (reference run_tokenflow_pnp.py:242-249)."""
+    for th in data.decode_prewarm:  # don't race the compile-ahead
+        th.join()
     out = data.config["output_path"]
     decoded = np.asarray(
         data.stack.decode_latents(
@@ -751,6 +792,8 @@ def save_outputs(
 ) -> np.ndarray:
     """Decode final latents, write img_ode/ frames + tagged mp4s
     (reference run_tokenflow_pnp.py:259-261, 269-271)."""
+    for th in data.decode_prewarm:  # no-op if save_vae_recon joined
+        th.join()
     out = data.config["output_path"]
     decoded = np.asarray(
         data.stack.decode_latents(

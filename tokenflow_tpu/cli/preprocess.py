@@ -376,6 +376,18 @@ def _run(opt) -> dict:
     # --prewarm_edit_config: compile the edit stage's program(s) while
     # the inversion below executes (threads joined before returning)
     prewarm_threads = start_edit_prewarm(stack, opt, lat, save_ts)
+    # ... and the decode program the reconstruction/inverted.mp4 needs
+    # (same fp32-canonical program a same-geometry editor will reuse via
+    # the persistent cache — PERF.md round 5). Kept separate from
+    # prewarm_threads: these must be joined BEFORE the reconstruction
+    # decode below (don't race the compile-ahead), while the edit
+    # prewarms ride until the end of the run.
+    decode_prewarm = []
+    if mesh is None:
+        decode_prewarm = cli_common.start_decode_prewarm(
+            stack, lat.shape[0], lat.shape[1:3],
+            {"frames_per_dispatch": fpd},
+        )
 
     def xs_segments(xs_arrays):
         # prefer a divisor of the step count so all segments share one
@@ -471,6 +483,8 @@ def _run(opt) -> dict:
         utils.force_completion(lat_rec)
     print(f"[tokenflow-tpu] reconstruction: {t_rec.seconds:.1f}s")
 
+    for th in decode_prewarm:  # don't race the compile-ahead
+        th.join()
     rgb = np.asarray(
         stack.decode_latents(lat_rec, mesh=mesh, frames_per_dispatch=fpd)
     )

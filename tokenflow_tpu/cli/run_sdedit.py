@@ -120,6 +120,8 @@ def _edit_video(config: dict, vanilla: bool = False) -> np.ndarray:
             vstep_fn,
             x_init.astype(data.stack.dtype),
         )
+        for th in data.decode_prewarm:  # don't race the compile-ahead
+            th.join()
         decoded = np.asarray(
             data.stack.decode_latents(
                 out_lat, batch=common.VAE_BATCH_SIZE, mesh=vmesh,

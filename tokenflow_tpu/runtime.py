@@ -148,10 +148,61 @@ class SDStack:
         work is embarrassingly frame-parallel; config 5 decodes 120
         frames @768p)."""
         sf = self.vae.config.scaling_factor
-        z = jnp.asarray(latents) / sf
+        # Canonical fp32 decode input: callers hand both fp32 latents
+        # (encode_frames output) and bf16 ones (edit/inversion scan
+        # carries); without the upcast each dtype compiles its OWN decode
+        # program per shape and the second lands cold mid-run (config-5
+        # on-chip: a ~530 s remote-compile wall inside decode_and_save —
+        # PERF.md round 5). bf16->fp32 is exact and the VAE casts inputs
+        # to its compute dtype at the first layer, so outputs are
+        # bitwise unchanged; every decode of a shape shares ONE program.
+        z = jnp.asarray(latents).astype(jnp.float32) / sf
         img = self._vae_apply("decode", z, batch, mesh, frames_per_dispatch)
         img = img.astype(jnp.float32)
         return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+    def decode_prewarm_specs(
+        self,
+        n_frames: int,
+        latent_hw: tuple,
+        *,
+        batch: int = 10,
+        frames_per_dispatch: int = 0,
+    ) -> list:
+        """(jitted_fn, args, kwargs) triples that AOT-compile exactly the
+        decode program(s) :meth:`decode_latents` will dispatch for this
+        geometry (fp32 canonical input; one entry per distinct segment
+        length — the planner aims for one). The CLIs' compile-ahead
+        threads use this so the 768p decode compile rides the
+        inversion/data-prep wall instead of serializing inside the
+        vae_recon / decode_and_save phases (PERF.md round 5)."""
+        from tokenflow_tpu.utils import plan_seg_len, segment_slices
+
+        params_spec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            self.vae_params,
+        )
+        h, w = latent_hw
+        n = int(n_frames)
+        fpd = int(frames_per_dispatch or 0)
+        lengths = [n]
+        if 0 < fpd < n:
+            seg = plan_seg_len(n, fpd)
+            lengths = sorted(
+                {s.stop - s.start for s in segment_slices(n, seg)}
+            )
+        fn = self._vae_mapped("decode")
+        return [
+            (
+                fn,
+                (
+                    params_spec,
+                    jax.ShapeDtypeStruct((m, h, w, 4), jnp.float32),
+                ),
+                {"batch": batch},
+            )
+            for m in lengths
+        ]
 
     def _vae_apply(
         self, which: str, x: jax.Array, batch: int, mesh,
