@@ -717,6 +717,83 @@ def test_preprocess_then_edit_one_process(tmp_path, monkeypatch):
         runtime.clear_stack_cache()
 
 
+def test_then_edit_wrong_family_fails_at_parse_time(tmp_path):
+    """A --then_edit config whose editor family cannot be inferred must
+    fail BEFORE the inversion runs (at parse time), not after a
+    multi-minute stage 1 — main() runs the same three-way inference
+    run_then_edit uses (infer_editor_family)."""
+    import yaml
+
+    bad = tmp_path / "config_bad.yaml"
+    # neither pnp_attn_t, nor start, nor a ControlNet sd_version
+    bad.write_text(yaml.safe_dump({"sd_version": "tiny", "pnp_attn": 0.5}))
+    with pytest.raises(ValueError, match="cannot infer the editor family"):
+        preprocess_cli.main(
+            [
+                "--data_path", str(tmp_path / "missing"),
+                "--sd_version", "tiny",
+                "--then_edit", str(bad),
+            ]
+        )
+
+    # the three families resolve without touching any editor module
+    assert preprocess_cli.infer_editor_family({"pnp_attn_t": 0.5}, "p") == "pnp"
+    assert preprocess_cli.infer_editor_family({"start": 0.9}, "s") == "sdedit"
+    assert (
+        preprocess_cli.infer_editor_family({"sd_version": "ControlNet"}, "c")
+        == "controlnet"
+    )
+
+
+@pytest.mark.slow
+def test_setup_editor_defaults_missing_image_size(inverted, monkeypatch):
+    """Reference-parity editor configs carry NO image_size key (the
+    reference hardcodes 512 in its frame loader, preprocess.py:191-192;
+    its run configs never set it). setup_editor must default to 512
+    end-to-end — round-5 regression: the decode compile-ahead geometry
+    read config["image_size"] unconditionally and KeyError'd on every
+    shipped config before reaching the (backend-gated) prewarm call."""
+    from tokenflow_tpu.cli import common as cli_common
+
+    workdir, _ = inverted
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        seen = {}
+        real_load = cli_common.video_io.load_frames
+
+        def spy_load(frames_dir, n_frames, resize_square=512):
+            # record the requested default, keep the tiny fixture
+            # geometry so the trajectory/eps shapes still line up
+            seen["resize_square"] = resize_square
+            return real_load(frames_dir, n_frames, resize_square=HW)
+
+        monkeypatch.setattr(cli_common.video_io, "load_frames", spy_load)
+        config = {
+            "seed": 1,
+            "output_path": "results_no_imgsize",
+            "data_path": "data/clip",
+            "latents_path": "latents",
+            "n_inversion_steps": STEPS,
+            "n_frames": F,
+            "sd_version": "tiny",
+            "guidance_scale": 7.5,
+            "n_timesteps": N_TIMESTEPS,
+            "prompt": "a stylized test clip",
+            "negative_prompt": "ugly",
+            "batch_size": 2,
+            # deliberately no "image_size"
+        }
+        os.makedirs(config["output_path"], exist_ok=True)
+        data = cli_common.setup_editor(config)
+        assert seen["resize_square"] == 512
+        # geometry must still line up with the inverted trajectory
+        assert data.latents.shape == data.trajectory.final.shape
+        assert np.isfinite(np.asarray(data.eps, np.float32)).all()
+    finally:
+        os.chdir(cwd)
+
+
 @pytest.mark.slow
 def test_python_api_edit(inverted):
     """High-level api.edit_pnp on the already-inverted fixture."""

@@ -619,6 +619,10 @@ class SegmentCheckpointer:
     def done(self) -> None:
         if self.enabled and os.path.exists(self.path):
             os.remove(self.path)
+        # release the delta-save host mirrors (~0.9 GB for the config-5
+        # trajectory) — the checkpointer outlives the loop it guarded
+        self._mirror.clear()
+        self._synced.clear()
 
 
 def run_segmented_edit(config: dict, segments: list, step_fn, x_init):
@@ -704,15 +708,16 @@ def setup_editor(
     # encode below: every editor decodes twice (vae_recon + outputs)
     # through the same fp32-canonical program (PERF.md round 5)
     decode_prewarm = []
+    image_size = int(config.get("image_size", 512))
     if mesh is None:
-        hw = int(config["image_size"]) // 8
+        hw = image_size // 8
         decode_prewarm = start_decode_prewarm(
             stack, n_frames, (hw, hw), config
         )
 
     frames = video_io.load_frames(
         config["data_path"], n_frames,
-        resize_square=config.get("image_size", 512),
+        resize_square=image_size,
     )
     for fps in (10, 20, 30):
         video_io.save_video(

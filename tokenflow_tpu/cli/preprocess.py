@@ -252,20 +252,33 @@ def run_then_edit(config_path: str) -> None:
     from tokenflow_tpu.cli import common as cli_common
 
     cfg = cli_common.load_config(config_path)
-    if "pnp_attn_t" in cfg:
+    family = infer_editor_family(cfg, config_path)
+    if family == "pnp":
         from tokenflow_tpu.cli import run_pnp as editor
-    elif "start" in cfg:
+    elif family == "sdedit":
         from tokenflow_tpu.cli import run_sdedit as editor
-    elif runtime.is_controlnet(cfg.get("sd_version", "")):
-        from tokenflow_tpu.cli import run_controlnet as editor
     else:
-        raise ValueError(
-            f"--then_edit: cannot infer the editor family from "
-            f"{config_path!r} (expected a pnp_attn_t, start, or "
-            f"ControlNet sd_version key)"
-        )
+        from tokenflow_tpu.cli import run_controlnet as editor
     print(f"[tokenflow-tpu] --then_edit: running {editor.__name__}")
     editor.main(["--config_path", config_path])
+
+
+def infer_editor_family(cfg: dict, config_path: str) -> str:
+    """Infer the stage-2 editor family from its config: ``pnp_attn_t`` →
+    PnP, ``start`` → SDEdit, a ControlNet sd_version → ControlNet.
+    Raises ValueError for anything else — callers use this to fail fast
+    at parse time instead of after a multi-minute inversion."""
+    if "pnp_attn_t" in cfg:
+        return "pnp"
+    if "start" in cfg:
+        return "sdedit"
+    if runtime.is_controlnet(cfg.get("sd_version", "")):
+        return "controlnet"
+    raise ValueError(
+        f"--then_edit: cannot infer the editor family from "
+        f"{config_path!r} (expected a pnp_attn_t, start, or "
+        f"ControlNet sd_version key)"
+    )
 
 
 def _run(opt) -> dict:
@@ -389,14 +402,16 @@ def _run(opt) -> dict:
             {"frames_per_dispatch": fpd},
         )
 
-    def xs_segments(xs_arrays):
+    def xs_slices(xs_arrays):
         # prefer a divisor of the step count so all segments share one
         # compiled program (utils.plan_seg_len; remote compile is ~2 min
         # per distinct program shape)
         n = len(xs_arrays[0])
+        return utils.segment_slices(n, utils.plan_seg_len(n, spd))
+
+    def xs_segments(xs_arrays):
         return [
-            tuple(a[s] for a in xs_arrays)
-            for s in utils.segment_slices(n, utils.plan_seg_len(n, spd))
+            tuple(a[s] for a in xs_arrays) for s in xs_slices(xs_arrays)
         ]
 
     with utils.Timer() as t_inv:
@@ -410,18 +425,18 @@ def _run(opt) -> dict:
         )
         x_T = lat
         traj = jnp.zeros((opt.save_steps, *lat.shape), lat.dtype)
-        segs = xs_segments(xs_np)
+        # ONE segmentation plan drives both the dispatch payloads and the
+        # checkpointer's per-segment row counts — deriving them from
+        # separate plan_seg_len calls risks a silent drift that would
+        # checkpoint the wrong trajectory rows
+        slices = xs_slices(xs_np)
+        segs = [tuple(a[s] for a in xs_np) for s in slices]
         # cumulative save-grid rows valid after each segment: lets the
         # checkpointer pull only the trajectory rows each dispatch added
         # (SegmentCheckpointer.save ``appended`` — the save-grid slots
         # fill in ascending write-once order, inversion.inversion_xs)
         filled = np.cumsum(np.asarray(xs_np[3], np.int64))
-        seg_hi = [
-            int(filled[s.stop - 1])
-            for s in utils.segment_slices(
-                len(xs_np[0]), utils.plan_seg_len(len(xs_np[0]), spd)
-            )
-        ]
+        seg_hi = [int(filled[s.stop - 1]) for s in slices]
         if len(segs) > 1:
             print(
                 f"[tokenflow-tpu] inversion in {len(segs)} dispatches "
@@ -616,21 +631,26 @@ def main(argv=None):
     if video_path.endswith((".mp4", ".mov", ".avi")):
         video_io.video_to_frames(video_path, img_size=(opt.W, opt.H))
         opt.data_path = os.path.join("data", Path(video_path).stem)
-    if opt.then_edit and not opt.prewarm_edit_config:
-        # ControlNet chains reuse the loaded stack but are NOT prewarmed
-        # (the ControlNet editor's loop closes over extra traced args —
-        # see maybe_prewarm_edit); don't set the key just to have the
-        # prewarm print a confusing "skipped" message
+    if opt.then_edit:
+        # infer the family NOW so a wrong/malformed stage-2 config fails
+        # at parse time, not after the full inversion
         from tokenflow_tpu.cli import common as cli_common
 
         cfg = cli_common.load_config(opt.then_edit)
-        if "pnp_attn_t" in cfg or "start" in cfg:
-            opt.prewarm_edit_config = opt.then_edit
-        else:
-            print(
-                "[tokenflow-tpu] --then_edit: ControlNet chain reuses "
-                "the stack in-process but is not prewarmed (unsupported)"
-            )
+        family = infer_editor_family(cfg, opt.then_edit)
+        if not opt.prewarm_edit_config:
+            # ControlNet chains reuse the loaded stack but are NOT
+            # prewarmed (the ControlNet editor's loop closes over extra
+            # traced args — see maybe_prewarm_edit); don't set the key
+            # just to have the prewarm print a confusing "skipped" message
+            if family in ("pnp", "sdedit"):
+                opt.prewarm_edit_config = opt.then_edit
+            else:
+                print(
+                    "[tokenflow-tpu] --then_edit: ControlNet chain reuses "
+                    "the stack in-process but is not prewarmed "
+                    "(unsupported)"
+                )
     run(opt)
     if opt.then_edit:
         run_then_edit(opt.then_edit)

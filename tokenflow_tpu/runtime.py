@@ -153,9 +153,13 @@ class SDStack:
         # carries); without the upcast each dtype compiles its OWN decode
         # program per shape and the second lands cold mid-run (config-5
         # on-chip: a ~530 s remote-compile wall inside decode_and_save —
-        # PERF.md round 5). bf16->fp32 is exact and the VAE casts inputs
-        # to its compute dtype at the first layer, so outputs are
-        # bitwise unchanged; every decode of a shape shares ONE program.
+        # PERF.md round 5). bf16->fp32 is exact, the scale divide happens
+        # in fp32 (>= the old per-caller-dtype precision; for bf16
+        # callers the result can differ from the old bf16 divide by 1
+        # bf16 ulp via double rounding), and the VAE casts to its compute
+        # dtype at the first layer — fp32 and bf16 callers now get
+        # IDENTICAL outputs from ONE shared program per shape
+        # (test_decode_dtype_canonicalized_one_program).
         z = jnp.asarray(latents).astype(jnp.float32) / sf
         img = self._vae_apply("decode", z, batch, mesh, frames_per_dispatch)
         img = img.astype(jnp.float32)
