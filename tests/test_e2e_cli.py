@@ -508,6 +508,13 @@ def test_segment_checkpointer_appended_delta(tmp_path, monkeypatch):
     with np.load(pc) as fc:
         np.testing.assert_array_equal(fc["carry_1"], carry_at(1)[0][1])
 
+    # done(): removes the checkpoint AND releases the delta-save host
+    # mirrors (~0.9 GB at config-5 scale — the checkpointer object
+    # outlives the loop it guarded)
+    ck3.done()
+    assert not pc.exists()
+    assert not ck3._mirror and not ck3._synced
+
 
 @pytest.mark.slow
 def test_preprocess_inversion_checkpoint_resume(inverted, monkeypatch):
