@@ -752,6 +752,35 @@ def test_then_edit_wrong_family_fails_at_parse_time(tmp_path):
     )
 
 
+def test_then_edit_family_dispatch(tmp_path, monkeypatch):
+    """run_then_edit routes each inferred family to its editor CLI with
+    --config_path (the PnP chain is exercised end-to-end by
+    test_preprocess_then_edit_one_process; here the SDEdit and ControlNet
+    routes are asserted with mocked editor mains)."""
+    import yaml
+
+    from tokenflow_tpu.cli import run_controlnet, run_sdedit
+
+    calls = []
+    monkeypatch.setattr(
+        run_sdedit, "main", lambda argv: calls.append(("sdedit", argv))
+    )
+    monkeypatch.setattr(
+        run_controlnet, "main", lambda argv: calls.append(("controlnet", argv))
+    )
+
+    sd = tmp_path / "sdedit.yaml"
+    sd.write_text(yaml.safe_dump({"start": 0.9}))
+    preprocess_cli.run_then_edit(str(sd))
+    cn = tmp_path / "controlnet.yaml"
+    cn.write_text(yaml.safe_dump({"sd_version": "tiny-controlnet"}))
+    preprocess_cli.run_then_edit(str(cn))
+    assert calls == [
+        ("sdedit", ["--config_path", str(sd)]),
+        ("controlnet", ["--config_path", str(cn)]),
+    ]
+
+
 @pytest.mark.slow
 def test_setup_editor_defaults_missing_image_size(inverted, monkeypatch):
     """Reference-parity editor configs carry NO image_size key (the
