@@ -575,6 +575,73 @@ def test_preprocess_inversion_checkpoint_resume(inverted, monkeypatch):
 
 
 @pytest.mark.slow
+def test_inversion_checkpoint_resume_save_grid_holes(inverted, monkeypatch):
+    """Delta checkpointing with a save grid that is NOT a subset of the
+    inversion grid: steps=10/save_steps=4 fills slots {0, 2} and leaves
+    slot 1 a permanent hole (ddim.save_grid), so the valid-prefix length
+    is max(slot)+1, not the mask count — counting mask hits undercounts
+    past the hole, drops the written row above it from the checkpoint,
+    and the resumed trajectory silently loses it. Kill right after the
+    dispatch that wrote slot 2, resume, and demand the uninterrupted
+    run's exact trajectory."""
+    workdir, _ = inverted
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        from tokenflow_tpu.cli import common
+
+        def args(save_dir, *extra):
+            return [
+                "--data_path", "data/clip",
+                "--H", str(HW), "--W", str(HW),
+                "--sd_version", "tiny",
+                "--steps", "10",
+                "--save_steps", "4",
+                "--n_frames", str(F),
+                "--batch_size", str(F),
+                "--inversion_prompt", "a test clip",
+                # 10 steps @ <=3/dispatch -> 5x2; the slot-2 save (step
+                # index 5) lands in dispatch 2 with the hole below it
+                "--steps_per_dispatch", "3",
+                "--save_dir", save_dir,
+                "--skip_reconstruction",
+                *extra,
+            ]
+
+        base = preprocess_cli.run(
+            preprocess_cli.build_parser().parse_args(args("latents_hole"))
+        )
+
+        orig_save = common.SegmentCheckpointer.save
+
+        def bombed_save(self, i, n, carry, **kw):
+            orig_save(self, i, n, carry, **kw)
+            if i == 2:  # right after the dispatch that wrote slot 2
+                raise RuntimeError("simulated kill")
+
+        monkeypatch.setattr(common.SegmentCheckpointer, "save", bombed_save)
+        ckpt_args = args("latents_hole_ck", "--checkpoint_inversion")
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            preprocess_cli.run(preprocess_cli.build_parser().parse_args(ckpt_args))
+        monkeypatch.setattr(common.SegmentCheckpointer, "save", orig_save)
+        resumed = preprocess_cli.run(
+            preprocess_cli.build_parser().parse_args(ckpt_args)
+        )
+
+        a = np.load(workdir / base["save_path"] / "latents" / "trajectory.npz")
+        b = np.load(
+            workdir / resumed["save_path"] / "latents" / "trajectory.npz"
+        )
+        np.testing.assert_array_equal(b["traj"], a["traj"])
+        np.testing.assert_array_equal(b["final"], a["final"])
+        # the written-above-a-hole row is real data, the hole stays zero
+        assert np.abs(b["traj"][2]).sum() > 0
+        assert np.abs(b["traj"][1]).sum() == 0
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.slow
 def test_pnp_edit_checkpoint_resume_e2e(inverted, monkeypatch):
     """CLI-level resume: kill the edit mid-dispatch-plan, rerun the same
     config, and get the exact output of an uninterrupted run (the carry

@@ -217,6 +217,57 @@ def test_sharded_pivotal_pass_matches_single_device(tiny, ws):
     )
 
 
+def test_sharded_pivotal_prop_approx_matches_single_device(tiny):
+    """mesh + shard_pivotal + prop_approx + PnP: the approximate
+    (source-free) propagation pass adds cache leaves (pivot_h_uncond and
+    the rank-4 conv source features) that pipeline constrains under the
+    pivotal shardings — the one sharded path no other test executed
+    (the dryrun runs approx WITHOUT pivotal shardings). Sharded must
+    match single-device."""
+    model, params, cfg, hw = tiny
+    f_total, steps, ws = 16, 2, 2
+
+    sched = ddim.make_schedule(steps)
+    save_ts = sched.timesteps[::-1].copy()
+    schedule = pipeline.make_edit_schedule(
+        sched, save_ts, pnp_attn_t=0.5, pnp_f_t=0.8
+    )
+    rng = np.random.default_rng(5)
+    x_init = jnp.asarray(
+        rng.standard_normal((f_total, hw, hw, 4)), jnp.float32
+    )
+    traj = jnp.asarray(
+        rng.standard_normal((steps, f_total, hw, hw, 4)), jnp.float32
+    )
+    embeds3 = jnp.asarray(
+        rng.standard_normal((3, 7, cfg.cross_attention_dim)), jnp.float32
+    )
+    key = jax.random.PRNGKey(13)
+
+    def unet_apply(p, sample, t, ctx, edit, **kw):
+        return model.apply(p, sample, t, ctx, edit=edit, **kw)
+
+    single = pipeline.tokenflow_sample_loop(
+        unet_apply, params, x_init, traj, embeds3, schedule,
+        window_size=ws, guidance_scale=7.5, pnp=True, rng=key,
+        prop_approx=True,
+    )
+
+    m = mesh_lib.make_frames_mesh(8)
+    loop = mesh_lib.sharded_edit_loop(
+        unet_apply, params, schedule, m,
+        window_size=ws, guidance_scale=7.5, pnp=True, shard_pivotal=True,
+        prop_approx=True,
+    )
+    sharded = loop(params, x_init, traj, embeds3, key)
+    assert sharded.sharding.is_equivalent_to(
+        mesh_lib.frames_sharding(m), sharded.ndim
+    )
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), rtol=5e-5, atol=5e-5
+    )
+
+
 def test_sharded_inversion_matches_single_device(tiny):
     model, params, cfg, hw = tiny
     f_total, steps = 8, 4

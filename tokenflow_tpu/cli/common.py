@@ -467,10 +467,14 @@ def _edit_fingerprint(config: dict, segments: list, x_init) -> str:
         for k in (
             "seed", "sd_version", "prompt", "negative_prompt", "n_frames",
             "n_timesteps", "batch_size", "guidance_scale", "pnp_attn_t",
-            "pnp_f_t", "start", "steps_per_dispatch",
+            "pnp_f_t", "start", "use_ddim_noise", "steps_per_dispatch",
             "data_path", "latents_path", "n_inversion_steps",
         )
     }
+    # resolved (config key OR env): a checkpoint written in exact mode
+    # must never seed an approx-mode rerun — the remaining segments would
+    # silently mix the two (non-parity) maths in one output
+    ident["prop_approx"] = prop_approx_enabled(config)
     ident["segment_steps"] = [len(s.timesteps) for s, _ in segments]
     ident["pivots"] = piv_digest
     ident["x_init"] = [list(x_init.shape), str(x_init.dtype)]

@@ -245,7 +245,7 @@ def run_then_edit(config_path: str) -> None:
     the edit-scan programs prewarmed during the inversion (``--then_edit``
     implies ``--prewarm_edit_config`` for those families). ControlNet
     chains get the stack reuse but NOT the prewarm (the ControlNet loop
-    closes over extra traced args — see :func:`maybe_prewarm_edit`).
+    closes over extra traced args — see :func:`start_edit_prewarm`).
 
     Editor family inference: ``pnp_attn_t`` → PnP, ``start`` → SDEdit, a
     ControlNet sd_version → ControlNet."""
@@ -395,8 +395,14 @@ def _run(opt) -> dict:
     # prewarm_threads: these must be joined BEFORE the reconstruction
     # decode below (don't race the compile-ahead), while the edit
     # prewarms ride until the end of the run.
+    # (skipped when --skip_reconstruction makes this process decode
+    # nothing: the compile would be pure waste and its daemon thread
+    # could die mid-remote-compile at process exit — unless --then_edit
+    # follows in-process, where the editor reuses the compiled program)
     decode_prewarm = []
-    if mesh is None:
+    if mesh is None and (
+        not opt.skip_reconstruction or getattr(opt, "then_edit", None)
+    ):
         decode_prewarm = cli_common.start_decode_prewarm(
             stack, lat.shape[0], lat.shape[1:3],
             {"frames_per_dispatch": fpd},
@@ -431,11 +437,17 @@ def _run(opt) -> dict:
         # checkpoint the wrong trajectory rows
         slices = xs_slices(xs_np)
         segs = [tuple(a[s] for a in xs_np) for s in slices]
-        # cumulative save-grid rows valid after each segment: lets the
-        # checkpointer pull only the trajectory rows each dispatch added
-        # (SegmentCheckpointer.save ``appended`` — the save-grid slots
-        # fill in ascending write-once order, inversion.inversion_xs)
-        filled = np.cumsum(np.asarray(xs_np[3], np.int64))
+        # cumulative trajectory high-water mark after each segment: lets
+        # the checkpointer pull only the rows each dispatch added
+        # (SegmentCheckpointer.save ``appended``). Saved slots ascend but
+        # may SKIP indices when a save-grid timestep is not on the
+        # inversion grid (ddim.save_grid leaves that slot zero-initialized
+        # forever), so the valid prefix is max(slot)+1 over saved steps —
+        # counting mask hits (cumsum) would undercount past a hole and
+        # the resume would restore written rows above it as zeros.
+        mask_np = np.asarray(xs_np[3], bool)
+        slot_np = np.asarray(xs_np[4], np.int64)
+        filled = np.maximum.accumulate(np.where(mask_np, slot_np + 1, 0))
         seg_hi = [int(filled[s.stop - 1]) for s in slices]
         if len(segs) > 1:
             print(
@@ -476,7 +488,7 @@ def _run(opt) -> dict:
     if opt.skip_reconstruction:
         # the reconstruction is the reference's inversion-quality sanity
         # check (preprocess.py:280-284); skipping halves preprocess time
-        for th in prewarm_threads:
+        for th in prewarm_threads + decode_prewarm:
             th.join()
         return {
             "save_path": save_path,
@@ -641,7 +653,7 @@ def main(argv=None):
         if not opt.prewarm_edit_config:
             # ControlNet chains reuse the loaded stack but are NOT
             # prewarmed (the ControlNet editor's loop closes over extra
-            # traced args — see maybe_prewarm_edit); don't set the key
+            # traced args — see start_edit_prewarm); don't set the key
             # just to have the prewarm print a confusing "skipped" message
             if family in ("pnp", "sdedit"):
                 opt.prewarm_edit_config = opt.then_edit

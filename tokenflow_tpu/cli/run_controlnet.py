@@ -67,6 +67,18 @@ def _edit_video(config: dict) -> np.ndarray:
         config, rng, len(schedule.timesteps), config["n_frames"]
     )
 
+    # same resolution as common.build_edit_loop (config key wins, env
+    # TOKENFLOW_PROP_APPROX is the default) — the pipeline supports
+    # ControlNet + approx (see __graft_entry__ dryrun), so the ControlNet
+    # editor must honor the documented switch like PnP/SDEdit do
+    approx = common.prop_approx_enabled(config)
+    if approx:
+        print(
+            "[tokenflow-tpu] prop_approx ON: source-free propagation "
+            "pass (NON-PARITY fast mode — outputs deviate from exact; "
+            "bound with scripts/compare_outputs.py)"
+        )
+
     def loop_fn(params, cn_p, x0, traj, embeds3, pivots, canny, sched_seg):
         # the ControlNet apply closure is built INSIDE the traced function
         # so cn_p stays a traced argument (see build_controlnet docstring)
@@ -89,6 +101,7 @@ def _edit_video(config: dict) -> np.ndarray:
             cond_image=canny,
             pivotal_shardings=pivotal_shardings,
             pivot_indices=pivots,
+            prop_approx=approx,
         )
 
     # donate the x0 carry across segmented dispatches (common.build_edit_loop

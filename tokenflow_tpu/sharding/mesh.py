@@ -130,13 +130,15 @@ def sharded_edit_loop(
     pnp: bool,
     propagate_chunk: Optional[int] = None,
     shard_pivotal: bool = False,
+    prop_approx: bool = False,
 ):
     """jit the TokenFlow edit loop over a frames mesh.
 
     Returns fn(params, x_init, traj, embeds3, rng) with x/traj sharded on
     the frame axis and params/embeds replicated. ``shard_pivotal`` also
-    shards the keyframe pass over the mesh (see pivotal_shardings).
-    """
+    shards the keyframe pass over the mesh (see pivotal_shardings);
+    ``prop_approx`` selects the source-free propagation pass (NON-PARITY
+    fast mode — same flag cli/common.build_edit_loop passes)."""
     from tokenflow_tpu.editing import pipeline
 
     psh = pivotal_shardings(mesh) if shard_pivotal else None
@@ -147,6 +149,7 @@ def sharded_edit_loop(
             window_size=window_size, guidance_scale=guidance_scale,
             pnp=pnp, rng=rng, propagate_chunk=propagate_chunk,
             pivotal_shardings=psh,
+            prop_approx=prop_approx,
         )
 
     fsh = frames_sharding(mesh)
